@@ -1,0 +1,251 @@
+"""Linear momentum equation: matrix-free theta-scheme thermo-inelastic solver.
+
+Reference: /root/reference/safeincave/MomentumEquation.py:36-1029.  One
+linearized step is:
+
+    CT  = (C_inv + dt(1-theta) G)^-1                       (consistent tangent)
+    eps_rhs = eps_ne_k + eps_th - dt(1-theta)(B + G:sigma_k)
+    a(du, v) = <CT eps(du), eps(v)>          (matrix-free stiffness action)
+    L(v)     = body + neumann + <CT eps_rhs, eps(v)>
+    solve via preconditioned Krylov with Dirichlet masking/lifting
+
+All state is Voigt (N, 6) per element; the linear solve is a single jitted
+``lax.while_loop``.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import voigt_to_tensor
+from ..materials.base import _as_voigt
+from .kernels import MomentumKernel
+from .solvers import cg_solve, bicgstab_solve
+
+
+@dataclass
+class SolverSettings:
+    """Krylov settings (stands in for PETSc KSP config,
+    reference Simulators.py:1052-1086)."""
+    method: str = "bicgstab"   # "cg" | "bicg" | "bicgstab" | "bcgs" | "gmres"
+    rtol: float = 1e-12
+    max_it: int = 600
+
+    def solve_fn(self):
+        return cg_solve if self.method == "cg" else bicgstab_solve
+
+
+class LinearMomentumBase:
+    """Common fields, invariant smoothing, ISV orchestration
+    (reference MomentumEquation.py:36-701)."""
+
+    def __init__(self, grid, theta: float):
+        self.grid = grid
+        self.theta = theta
+        self.kernel = MomentumKernel(grid)
+        self.n_elems = grid.n_elems
+        self.n_nodes = grid.n_nodes
+
+        self.T0 = jnp.zeros(self.n_elems, dtype=jnp.float64)
+        self.Temp = jnp.zeros(self.n_elems, dtype=jnp.float64)
+        self.u = jnp.zeros((self.n_nodes, 3), dtype=jnp.float64)
+        self.sig_v = jnp.zeros((self.n_elems, 6), dtype=jnp.float64)
+        self.eps_tot_v = jnp.zeros((self.n_elems, 6), dtype=jnp.float64)
+        self.q_nodes = jnp.zeros(self.n_nodes, dtype=jnp.float64)
+        self.q_elems = jnp.zeros(self.n_elems, dtype=jnp.float64)
+        self.p_nodes = jnp.zeros(self.n_nodes, dtype=jnp.float64)
+        self.p_elems = jnp.zeros(self.n_elems, dtype=jnp.float64)
+        self.b_body = jnp.zeros((self.n_nodes, 3), dtype=jnp.float64)
+        self.solver = SolverSettings()
+        self.solver_stats = (0, 0.0)
+
+    # -- wiring ----------------------------------------------------------- #
+    def set_material(self, material):
+        self.mat = material
+        self.initialize()
+
+    def set_T(self, T):
+        self.Temp = jnp.asarray(T, dtype=jnp.float64)
+
+    def set_T0(self, T0):
+        self.T0 = jnp.asarray(T0, dtype=jnp.float64)
+
+    def set_solver(self, solver: SolverSettings):
+        self.solver = solver
+
+    def set_boundary_conditions(self, bc):
+        self.bc = bc
+
+    def build_body_force(self, g: list):
+        self.g_vec = list(g)
+        self.b_body = self.kernel.body_force(self.mat.density, g)
+
+    # -- invariants + smoothing (reference :287-324, 944-976) -------------- #
+    def _q_dg0(self):
+        s = self.sig_v
+        I1 = s[:, 0] + s[:, 1] + s[:, 2]
+        I2 = (s[:, 0] * s[:, 1] + s[:, 1] * s[:, 2] + s[:, 0] * s[:, 2]
+              - s[:, 3] ** 2 - s[:, 4] ** 2 - s[:, 5] ** 2)
+        J2 = I1 ** 2 / 3.0 - I2
+        return jnp.sqrt(jnp.maximum(3.0 * J2, 0.0))
+
+    def compute_q_nodes(self):
+        self.q_nodes = self.grid.elems_to_nodes(self._q_dg0())
+
+    def compute_q_elems(self):
+        self.q_elems = self.grid.smooth_elems(self._q_dg0())
+
+    def compute_p_nodes(self):
+        p = (self.sig_v[:, 0] + self.sig_v[:, 1] + self.sig_v[:, 2]) / 3.0
+        self.p_nodes = self.grid.elems_to_nodes(p)
+
+    def compute_p_elems(self):
+        p = (self.sig_v[:, 0] + self.sig_v[:, 1] + self.sig_v[:, 2]) / 3.0
+        self.p_elems = self.grid.smooth_elems(p)
+
+    # -- strain / ISV orchestration (reference :326-454) ------------------- #
+    def compute_total_strain(self):
+        self.eps_tot_v = self.kernel.strain(self.u)
+        return self.eps_tot_v
+
+    def compute_eps_th(self):
+        eps_th = jnp.zeros((self.n_elems, 6), dtype=jnp.float64)
+        dT = self.Temp - self.T0
+        for elem_th in self.mat.elems_th:
+            eps_th = eps_th + elem_th.eps_th_voigt(dT)
+        return eps_th
+
+    def compute_eps_ne_k(self, dt):
+        eps_k = jnp.zeros((self.n_elems, 6), dtype=jnp.float64)
+        for e in self.mat.elems_ne:
+            e.compute_eps_ne_k(dt * self.theta, dt * (1 - self.theta))
+            eps_k = eps_k + e.state["eps_k"]
+        return eps_k
+
+    def compute_eps_ne_rate(self, stress, dt):
+        sv = _as_voigt(stress)
+        for e in self.mat.elems_ne:
+            e.state = e.f_rate(e.state, sv, dt * self.theta, self.Temp)
+
+    def update_eps_ne_rate_old(self):
+        for e in self.mat.elems_ne:
+            e.update_eps_ne_rate_old()
+
+    def update_eps_ne_old(self, stress, stress_k, dt):
+        sv, sv_k = _as_voigt(stress), _as_voigt(stress_k)
+        for e in self.mat.elems_ne:
+            e.state = e.f_update_eps_old(e.state, sv, sv_k,
+                                         dt * (1 - self.theta))
+
+    def increment_internal_variables(self, stress, stress_k, dt):
+        sv, sv_k = _as_voigt(stress), _as_voigt(stress_k)
+        for e in self.mat.elems_ne:
+            e.state = e.f_increment_isv(e.state, sv, sv_k, dt)
+
+    def update_internal_variables(self):
+        for e in self.mat.elems_ne:
+            e.state = e.f_commit_isv(e.state)
+
+    # -- dt-retry snapshots (reference :456-494) --------------------------- #
+    def save_internal_state(self):
+        self._saved_state = [dict(e.state) for e in self.mat.elems_ne]
+
+    def restore_internal_state(self):
+        for e, st in zip(self.mat.elems_ne, self._saved_state):
+            e.state = dict(st)
+
+    def run_after_solve(self):
+        """User extension hook (reference :510-518)."""
+        pass
+
+    # -- tensor views ------------------------------------------------------ #
+    @property
+    def sig(self):
+        return voigt_to_tensor(self.sig_v)
+
+    @property
+    def eps_tot(self):
+        return voigt_to_tensor(self.eps_tot_v)
+
+
+class LinearMomentum(LinearMomentumBase):
+    """Concrete formulation (reference MomentumEquation.py:707-1029)."""
+
+    def __init__(self, grid, theta: float):
+        super().__init__(grid, theta)
+        self.eps_rhs_v = jnp.zeros((self.n_elems, 6), dtype=jnp.float64)
+
+    def initialize(self):
+        self.C = self.mat.C
+
+    def compute_CT(self, stress_k, dt):
+        sv_k = _as_voigt(stress_k)
+        states = [e.state for e in self.mat.elems_ne]
+        states, G, B6 = self.mat.f_tangent_all(states, sv_k, self.Temp, dt,
+                                               self.theta)
+        for e, st in zip(self.mat.elems_ne, states):
+            e.state = st
+        self.mat.G = G
+        self.mat.B6 = B6
+        self.mat.CT = self.mat.f_CT(G, dt, self.theta)
+
+    def compute_elastic_stress(self, eps_e):
+        ev = _as_voigt(eps_e)
+        self.sig_v = jnp.einsum("nij,nj->ni", self.mat.C, ev)
+        return self.sig_v
+
+    def compute_stress(self, eps_tot, *_):
+        ev = _as_voigt(eps_tot)
+        self.sig_v = jnp.einsum("nij,nj->ni", self.mat.CT,
+                                ev - self.eps_rhs_v)
+        return self.sig_v
+
+    def compute_eps_rhs(self, dt, stress_k):
+        sv_k = _as_voigt(stress_k)
+        eps_ne_k = self.compute_eps_ne_k(dt)
+        eps_th = self.compute_eps_th()
+        G_sk = jnp.einsum("nij,nj->ni", self.mat.G, sv_k)
+        self.eps_rhs_v = (eps_ne_k + eps_th
+                          - dt * (1 - self.theta) * (self.mat.B6 + G_sk))
+
+    # ------------------------------------------------------------------ #
+    def _linear_solve(self, CT, b):
+        """Solve a(CT) u = b with Dirichlet masking + lifting."""
+        mask, u_bc = self.bc.mask, self.bc.u_bc
+        kern = self.kernel
+
+        def Aop(x):
+            return mask * kern.matvec(CT, mask * x) + (1.0 - mask) * x
+
+        diag = mask * kern.diagonal(CT) + (1.0 - mask)
+        diag = jnp.where(jnp.abs(diag) > 0, diag, 1.0)
+
+        def M_inv(r):
+            return r / diag
+
+        b_eff = mask * (b - kern.matvec(CT, u_bc)) + (1.0 - mask) * u_bc
+        x0 = mask * self.u + (1.0 - mask) * u_bc
+        solve = self.solver.solve_fn()
+        x, iters, res = solve(Aop, b_eff, x0, M_inv,
+                              rtol=self.solver.rtol,
+                              maxiter=self.solver.max_it)
+        self.solver_stats = (int(iters), float(res))
+        return x
+
+    def solve_elastic_response(self):
+        """Purely elastic BVP (reference :892-923)."""
+        b = self.b_body + self.bc.b_neumann
+        self.u = self._linear_solve(self.mat.C, b)
+        self.run_after_solve()
+
+    def solve(self, stress_k, t, dt):
+        """One linearized inelastic step (reference :978-1028)."""
+        self.compute_CT(stress_k, dt)
+        self.compute_eps_rhs(dt, stress_k)
+        b_rhs = self.kernel.internal_force(
+            jnp.einsum("nij,nj->ni", self.mat.CT, self.eps_rhs_v))
+        b = self.b_body + self.bc.b_neumann + b_rhs
+        self.u = self._linear_solve(self.mat.CT, b)
+        self.run_after_solve()

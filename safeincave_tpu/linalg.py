@@ -1,0 +1,112 @@
+"""Custom batched dense linear algebra for TPU float64.
+
+XLA on TPU only implements LU decomposition and symmetric eigensolvers in
+float32, so ``jnp.linalg.inv`` / ``eigvalsh`` cannot be used for the f64
+constitutive math the reference requires (torch ``linalg.inv`` on (N,6,6) at
+/root/reference/safeincave/MaterialProps.py:292-309, ``eigvalsh`` at
+:1872-1885).  These replacements are fully vectorized elementwise/VPU code
+that compiles on any backend:
+
+* :func:`inv6x6` - batched Gauss-Jordan with partial pivoting + singularity
+  mask (used for consistent tangents; the mask drives the reference's
+  elastic-fallback semantics).
+* :func:`eigvalsh3x3` - analytic trigonometric eigenvalues of symmetric 3x3
+  batches (ascending order), deterministic and much faster than an iterative
+  eigensolver.
+"""
+from __future__ import annotations
+
+from . import jax_setup  # noqa: F401
+import jax.numpy as jnp
+
+
+def inv6x6(M: jnp.ndarray, pivot_tol: float = 1e-30):
+    """Invert a batch of 6x6 matrices by Gauss-Jordan with partial pivoting.
+
+    Parameters
+    ----------
+    M : (..., 6, 6) array
+    pivot_tol : float
+        A matrix is flagged singular when any pivot magnitude falls below
+        ``pivot_tol * max|M|`` for that batch entry.
+
+    Returns
+    -------
+    inv : (..., 6, 6) array
+        Inverse where ``ok``; garbage (but finite-ish) elsewhere.
+    ok : (...,) bool array
+        False where the matrix was detected singular/non-finite.
+    """
+    n = 6
+    batch_shape = M.shape[:-2]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape)
+    aug = jnp.concatenate([M, eye], axis=-1)  # (..., 6, 12)
+
+    scale = jnp.max(jnp.abs(M), axis=(-2, -1))
+    ok = jnp.isfinite(scale) & (scale > 0)
+    rows = jnp.arange(n)
+
+    for k in range(n):
+        col = aug[..., :, k]
+        # only rows >= k are pivot candidates
+        cand = jnp.where(rows >= k, jnp.abs(col), -1.0)
+        p = jnp.argmax(cand, axis=-1)  # (...,)
+        # swap rows k and p: row index k reads from p, row index p reads from k
+        p_exp = p[..., None]
+        perm = jnp.broadcast_to(rows, batch_shape + (n,))
+        perm = jnp.where(rows == k, p_exp, jnp.where(perm == p_exp, k, perm))
+        aug = jnp.take_along_axis(aug, perm[..., None], axis=-2)
+
+        piv = aug[..., k, k]
+        ok = ok & (jnp.abs(piv) > pivot_tol * scale) & jnp.isfinite(piv)
+        piv_safe = jnp.where(jnp.abs(piv) > 0, piv, 1.0)
+        pivot_row = aug[..., k, :] / piv_safe[..., None]
+        factors = aug[..., :, k]
+        elim = aug - factors[..., None] * pivot_row[..., None, :]
+        aug = jnp.where((rows == k)[..., None], pivot_row[..., None, :], elim)
+
+    return aug[..., :, n:], ok
+
+
+def solve6x6(M: jnp.ndarray, b: jnp.ndarray):
+    """Solve batched 6x6 systems via :func:`inv6x6` (convenience)."""
+    inv, ok = inv6x6(M)
+    return jnp.einsum("...ij,...j->...i", inv, b), ok
+
+
+def eigvalsh3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Analytic eigenvalues of batched symmetric 3x3 matrices, ascending.
+
+    Trigonometric (Cardano) method; replaces torch ``eigvalsh`` used by the
+    Matsuoka-Nakai model (reference MaterialProps.py:1872-1885).
+    """
+    a00 = A[..., 0, 0]
+    a11 = A[..., 1, 1]
+    a22 = A[..., 2, 2]
+    a01 = A[..., 0, 1]
+    a02 = A[..., 0, 2]
+    a12 = A[..., 1, 2]
+
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = b00 ** 2 + b11 ** 2 + b22 ** 2 + 2.0 * (a01 ** 2 + a02 ** 2 + a12 ** 2)
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    p_safe = jnp.where(p > 0, p, 1.0)
+
+    # det(B) / 2 with B = (A - q I) / p
+    detB = (b00 * (b11 * b22 - a12 ** 2)
+            - a01 * (a01 * b22 - a12 * a02)
+            + a02 * (a01 * a12 - b11 * a02))
+    r = detB / (2.0 * p_safe ** 3)
+    r = jnp.clip(r, -1.0, 1.0)
+
+    phi = jnp.arccos(r) / 3.0
+    e_max = q + 2.0 * p * jnp.cos(phi)
+    e_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e_mid = 3.0 * q - e_max - e_min
+
+    isotropic = p2 <= 1e-300
+    e_max = jnp.where(isotropic, q, e_max)
+    e_mid = jnp.where(isotropic, q, e_mid)
+    e_min = jnp.where(isotropic, q, e_min)
+    return jnp.stack([e_min, e_mid, e_max], axis=-1)

@@ -1,0 +1,18 @@
+"""Test configuration: force an 8-device virtual CPU mesh + float64.
+
+Multi-chip TPU hardware is not available in this environment, so sharding
+tests run on XLA's host-platform virtual devices (the driver separately
+dry-run-compiles the multi-chip path via __graft_entry__.dryrun_multichip).
+Must run before jax is imported anywhere.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import safeincave_tpu  # noqa: E402,F401  (enables x64)
