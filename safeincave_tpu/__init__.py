@@ -23,6 +23,12 @@ from .materials import (
     MunsonDawsonCreep,
 )
 from .timecontrol import TimeControllerBase, TimeController, TimeControllerParabolic
+from .mesh import Grid, GridHandlerGMSH, GridBox
+from .fem import (LinearMomentumBase, LinearMomentum, HeatDiffusion,
+                  SolverSettings)
+from .bcs import MomentumBC, HeatBC
+from .output import SaveFields, ScreenPrinter
+from .simulators import Simulator_M, Simulator_Mout, Simulator_T, Simulator_TM
 
 __all__ = [
     "Utils", "GPa", "MPa", "kPa", "minute", "hour", "day", "year",
@@ -31,4 +37,8 @@ __all__ = [
     "ViscoplasticDesai", "MohrCoulombViscoplastic",
     "MatsuokaNakaiViscoplastic", "MunsonDawsonCreep",
     "TimeControllerBase", "TimeController", "TimeControllerParabolic",
+    "Grid", "GridHandlerGMSH", "GridBox",
+    "LinearMomentumBase", "LinearMomentum", "HeatDiffusion", "SolverSettings",
+    "MomentumBC", "HeatBC", "SaveFields", "ScreenPrinter",
+    "Simulator_M", "Simulator_Mout", "Simulator_T", "Simulator_TM",
 ]

@@ -9,6 +9,7 @@ solved matrix-free with Jacobi-CG (operator is SPD).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .kernels import HeatKernel
@@ -56,33 +57,50 @@ class HeatDiffusion:
         """Project nodal T to DG0 (vertex average), reference :286-301."""
         return self.kernel.nodes_to_elems(self.T)
 
-    def solve(self, t, dt):
-        """Assemble and solve one implicit step (reference :304-365)."""
-        self.bc.update_bcs(t)
-        mask, T_bc = self.bc.mask, self.bc.T_bc
-        coef = self.rho * self.cp / dt
+    def _build_jit_step(self):
+        """The whole implicit heat step as one jitted program (BC arrays,
+        assembly, Jacobi-CG)."""
         kern = self.kernel
         bc = self.bc
+        rtol, maxiter = self.solver.rtol, self.solver.max_it
 
-        def A_full(x):
-            return (kern.mass_apply(coef, x) + kern.stiffness_apply(self.k, x)
-                    + bc.robin_operator_apply(x))
+        @jax.jit
+        def _step(T, T_old, k, rho, cp, t, dt):
+            mask, T_bc = bc.dirichlet_arrays(t)
+            b_neumann = bc.neumann_rhs(t)
+            b_robin = bc.robin_rhs(t)
+            coef = rho * cp / dt
 
-        def Aop(x):
-            # masked operator with identity on Dirichlet dofs
-            return mask * A_full(mask * x) + (1.0 - mask) * x
+            def A_full(x):
+                return (kern.mass_apply(coef, x)
+                        + kern.stiffness_apply(k, x)
+                        + bc.robin_operator_apply(x))
 
-        diag = mask * (kern.mass_diagonal(coef) + kern.stiffness_diagonal(self.k)
-                       + bc.robin_diagonal()) + (1.0 - mask)
-        diag = jnp.where(jnp.abs(diag) > 0, diag, 1.0)
+            def Aop(x):
+                # masked operator with identity on Dirichlet dofs
+                return mask * A_full(mask * x) + (1.0 - mask) * x
 
-        b = (kern.mass_apply(coef, self.T_old) + bc.b_neumann + bc.b_robin)
-        b_eff = mask * (b - A_full(T_bc)) + (1.0 - mask) * T_bc
-        x0 = mask * self.T + (1.0 - mask) * T_bc
+            diag = mask * (kern.mass_diagonal(coef)
+                           + kern.stiffness_diagonal(k)
+                           + bc.robin_diagonal()) + (1.0 - mask)
+            diag = jnp.where(jnp.abs(diag) > 0, diag, 1.0)
 
-        x, iters, res = cg_solve(Aop, b_eff, x0, lambda r: r / diag,
-                                 rtol=self.solver.rtol,
-                                 maxiter=self.solver.max_it)
+            b = kern.mass_apply(coef, T_old) + b_neumann + b_robin
+            b_eff = mask * (b - A_full(T_bc)) + (1.0 - mask) * T_bc
+            x0 = mask * T + (1.0 - mask) * T_bc
+            return cg_solve(Aop, b_eff, x0, lambda r: r / diag,
+                            rtol=rtol, maxiter=maxiter)
+
+        return _step
+
+    def solve(self, t, dt):
+        """Assemble and solve one implicit step (reference :304-365)."""
+        key = (id(self.bc), self.solver.rtol, self.solver.max_it)
+        if getattr(self, "_jit_step_key", None) != key:
+            self._jit_step = self._build_jit_step()
+            self._jit_step_key = key
+        x, iters, res = self._jit_step(self.T, self.T_old, self.k, self.rho,
+                                       self.cp, t, dt)
         self.solver_stats = (int(iters), float(res))
         self.T = x
         self.update_T_old()

@@ -171,11 +171,34 @@ class LinearMomentumBase:
 
 
 class LinearMomentum(LinearMomentumBase):
-    """Concrete formulation (reference MomentumEquation.py:707-1029)."""
+    """Concrete formulation (reference MomentumEquation.py:707-1029).
+
+    Two execution paths:
+
+    * the reference-compatible mutating methods (``solve``,
+      ``compute_stress``, ...) for users porting reference scripts;
+    * :meth:`solve_time_step` - the whole fixed-point iteration of
+      reference Simulators.py:404-438 as ONE jitted ``lax.while_loop``
+      program (tangents, RHS, Krylov solve, stress/ISV updates, error norm),
+      cached per (material, bc, solver) wiring.  This is the TPU fast path:
+      a single device dispatch per time step.
+    """
 
     def __init__(self, grid, theta: float):
         super().__init__(grid, theta)
         self.eps_rhs_v = jnp.zeros((self.n_elems, 6), dtype=jnp.float64)
+        self._jit_solve = None
+        self._jit_step = None
+        self._jit_step_key = None
+
+    def set_solver(self, solver):
+        super().set_solver(solver)
+        self._jit_solve = None
+        self._jit_step = None
+
+    def set_boundary_conditions(self, bc):
+        super().set_boundary_conditions(bc)
+        self._jit_step = None
 
     def initialize(self):
         self.C = self.mat.C
@@ -211,26 +234,32 @@ class LinearMomentum(LinearMomentumBase):
                           - dt * (1 - self.theta) * (self.mat.B6 + G_sk))
 
     # ------------------------------------------------------------------ #
+    def _get_jit_solve(self):
+        """Cached jitted masked Krylov solve (CT, b, mask, u_bc, x0 traced)."""
+        if self._jit_solve is None:
+            kern = self.kernel
+            solve = self.solver.solve_fn()
+            rtol, maxiter = self.solver.rtol, self.solver.max_it
+
+            @jax.jit
+            def _solve(CT, b, mask, u_bc, x0):
+                def Aop(x):
+                    return mask * kern.matvec(CT, mask * x) + (1.0 - mask) * x
+
+                diag = mask * kern.diagonal(CT) + (1.0 - mask)
+                diag = jnp.where(jnp.abs(diag) > 0, diag, 1.0)
+                b_eff = mask * (b - kern.matvec(CT, u_bc)) + (1.0 - mask) * u_bc
+                return solve(Aop, b_eff, x0, lambda r: r / diag,
+                             rtol=rtol, maxiter=maxiter)
+
+            self._jit_solve = _solve
+        return self._jit_solve
+
     def _linear_solve(self, CT, b):
         """Solve a(CT) u = b with Dirichlet masking + lifting."""
         mask, u_bc = self.bc.mask, self.bc.u_bc
-        kern = self.kernel
-
-        def Aop(x):
-            return mask * kern.matvec(CT, mask * x) + (1.0 - mask) * x
-
-        diag = mask * kern.diagonal(CT) + (1.0 - mask)
-        diag = jnp.where(jnp.abs(diag) > 0, diag, 1.0)
-
-        def M_inv(r):
-            return r / diag
-
-        b_eff = mask * (b - kern.matvec(CT, u_bc)) + (1.0 - mask) * u_bc
         x0 = mask * self.u + (1.0 - mask) * u_bc
-        solve = self.solver.solve_fn()
-        x, iters, res = solve(Aop, b_eff, x0, M_inv,
-                              rtol=self.solver.rtol,
-                              maxiter=self.solver.max_it)
+        x, iters, res = self._get_jit_solve()(CT, b, mask, u_bc, x0)
         self.solver_stats = (int(iters), float(res))
         return x
 
@@ -249,3 +278,119 @@ class LinearMomentum(LinearMomentumBase):
         b = self.b_body + self.bc.b_neumann + b_rhs
         self.u = self._linear_solve(self.mat.CT, b)
         self.run_after_solve()
+
+    # ------------------------------------------------------------------ #
+    # Fused jitted time step (fast path)
+    # ------------------------------------------------------------------ #
+    def _build_jit_step(self):
+        """One full fixed-point solve of a time step as a single XLA program.
+
+        Implements the inner loop of reference Simulators.py:404-438:
+        tangent -> CT -> eps_rhs -> assemble -> Krylov -> strain -> stress ->
+        ISV increment -> rates -> strain-change error, iterated in
+        ``lax.while_loop`` until tol/maxiter/NaN.
+        """
+        mat = self.mat
+        bc = self.bc
+        kern = self.kernel
+        theta = self.theta
+        elems_ne = list(mat.elems_ne)
+        elems_th = list(mat.elems_th)
+        trivial_error = (theta == 1.0) or (len(elems_ne) == 0)
+        solve = self.solver.solve_fn()
+        rtol, lin_maxiter = self.solver.rtol, self.solver.max_it
+        w_err = jnp.asarray([1., 1., 1., 2., 2., 2.])
+
+        @jax.jit
+        def _step(states, sv, eps_v, u, b_body, Temp, T0, t, dt, tol, maxiter):
+            mask, u_bc = bc.dirichlet_arrays(t)
+            b_ext = b_body + bc.neumann_rhs(t)
+
+            eps_th = jnp.zeros((kern.n_elems, 6), dtype=jnp.float64)
+            for th in elems_th:
+                eps_th = eps_th + th.eps_th_voigt(Temp - T0)
+
+            def body(carry):
+                states, sv, eps_v, u, _, ite, _ = carry
+                sv_k = sv
+                # consistent tangents + CT (reference MomentumEquation.py:799-820)
+                new_states, G, B6 = mat.f_tangent_all(states, sv_k, Temp, dt,
+                                                      theta)
+                CT = mat.f_CT(G, dt, theta)
+                # eps_rhs (reference :868-890)
+                eps_ne_k = jnp.zeros_like(eps_th)
+                states2 = []
+                for e, st in zip(elems_ne, new_states):
+                    st = e.f_eps_k(st, dt * theta, dt * (1 - theta))
+                    eps_ne_k = eps_ne_k + st["eps_k"]
+                    states2.append(st)
+                G_sk = jnp.einsum("nij,nj->ni", G, sv_k)
+                eps_rhs = eps_ne_k + eps_th - dt * (1 - theta) * (B6 + G_sk)
+                # assemble + masked Krylov solve (reference :1008-1025)
+                b = b_ext + kern.internal_force(
+                    jnp.einsum("nij,nj->ni", CT, eps_rhs))
+
+                def Aop(x):
+                    return mask * kern.matvec(CT, mask * x) + (1.0 - mask) * x
+
+                diag = mask * kern.diagonal(CT) + (1.0 - mask)
+                diag = jnp.where(jnp.abs(diag) > 0, diag, 1.0)
+                b_eff = mask * (b - kern.matvec(CT, u_bc)) + (1.0 - mask) * u_bc
+                x0 = mask * u + (1.0 - mask) * u_bc
+                u_new, _, _ = solve(Aop, b_eff, x0, lambda r: r / diag,
+                                    rtol=rtol, maxiter=lin_maxiter)
+                # strain, stress (reference :844-866)
+                eps_new = kern.strain(u_new)
+                sv_new = jnp.einsum("nij,nj->ni", CT, eps_new - eps_rhs)
+                # ISV increments + rates (reference Simulators.py:421-425)
+                states3 = []
+                for e, st in zip(elems_ne, states2):
+                    st = e.f_increment_isv(st, sv_new, sv_k, dt)
+                    st = e.f_rate(st, sv_new, dt * theta, Temp)
+                    states3.append(st)
+                if trivial_error:
+                    err = jnp.asarray(0.0, dtype=jnp.float64)
+                else:
+                    diff = jnp.sqrt((((eps_new - eps_v) ** 2) * w_err).sum())
+                    ref = jnp.sqrt(((eps_new ** 2) * w_err).sum())
+                    err = diff / ref
+                return (states3, sv_new, eps_new, u_new, sv_k, ite + 1, err)
+
+            def cond(carry):
+                *_, ite, err = carry
+                return ((err > tol) & (ite < maxiter) & jnp.isfinite(err)) \
+                    | (ite == 0)
+
+            init = (states, sv, eps_v, u, sv,
+                    jnp.asarray(0, dtype=jnp.int64),
+                    jnp.asarray(2.0, dtype=jnp.float64) * tol)
+            out = jax.lax.while_loop(cond, body, init)
+            return out
+
+        return _step
+
+    def solve_time_step(self, t, dt, tol=1e-8, maxiter=40):
+        """Run the full fixed-point iteration for one time step (fused).
+
+        Returns (iterations, error).  Mutates u / stress / strain / element
+        states; the last iteration's sigma_k is kept for the commit phase
+        (reference Simulators.py:517).
+        """
+        key = (id(self.mat), id(self.bc), self.solver.method,
+               self.solver.rtol, self.solver.max_it,
+               len(self.mat.elems_ne), len(self.mat.elems_th))
+        if self._jit_step is None or self._jit_step_key != key:
+            self._jit_step = self._build_jit_step()
+            self._jit_step_key = key
+        states = [e.state for e in self.mat.elems_ne]
+        (states, sv, eps_v, u, sv_k, ite, err) = self._jit_step(
+            states, self.sig_v, self.eps_tot_v, self.u, self.b_body,
+            self.Temp, self.T0, t, dt, tol, maxiter)
+        for e, st in zip(self.mat.elems_ne, states):
+            e.state = st
+        self.sig_v = sv
+        self.eps_tot_v = eps_v
+        self.u = u
+        self._last_sv_k = sv_k
+        self.run_after_solve()
+        return int(ite), float(err)

@@ -1,0 +1,309 @@
+"""Simulation drivers: mechanics-only, thermal, coupled thermo-mechanics.
+
+Reference: /root/reference/safeincave/Simulators.py.  The drivers reproduce
+the reference's control flow exactly:
+
+* ``Simulator_M`` (:273-541): theta-scheme time loop, fixed-point iteration
+  (tol 1e-8, <= 40 iters), dt-halving retry (<= 3) with full ISV
+  snapshot/restore on divergence or NaN, diagnostic dump after exhausted
+  retries, commit-only-if-converged.
+* ``Simulator_TM`` (:57-270): heat step then momentum fixed-point
+  (tol 1e-6, <= 20 iters) with one-way T coupling; no dt-retry.
+* ``Simulator_T`` (:544-639): heat-only loop.
+* ``Simulator_Mout`` (:646-839): legacy no-retry mechanics loop.
+
+Each linear solve / constitutive update is a jitted XLA program; the outer
+convergence control stays host-side (one scalar sync per iteration), exactly
+the host/device split the reference has with PETSc.
+"""
+from __future__ import annotations
+
+import os
+from abc import ABC, abstractmethod
+
+import numpy as np
+import jax.numpy as jnp
+
+from .output.screen import ScreenPrinter
+from .utils import voigt_to_tensor
+
+
+class Simulator(ABC):
+    @abstractmethod
+    def run(self):
+        ...
+
+
+class Simulator_M(Simulator):
+    """Mechanics-only driver with dt-halving retry (reference :273-541)."""
+
+    def __init__(self, eq_mom, t_control, outputs,
+                 compute_elastic_response: bool = True):
+        self.eq_mom = eq_mom
+        self.t_control = t_control
+        self.outputs = outputs
+        self.compute_elastic_response = compute_elastic_response
+        ScreenPrinter.reset_instance()
+        self.screen = ScreenPrinter(eq_mom.grid, eq_mom.solver, eq_mom.mat,
+                                    outputs, t_control.time_unit)
+
+    # hooks for subclasses (KSP-log idiom of the nobian scripts)
+    tol = 1e-8
+    maxiter = 40
+    max_dt_cuts = 3
+
+    def run(self):
+        eq = self.eq_mom
+        tc = self.t_control
+
+        for output in self.outputs:
+            output.initialize()
+
+        eq.bc.update_dirichlet(tc.t)
+        eq.bc.update_neumann(tc.t)
+
+        if self.compute_elastic_response:
+            eq.solve_elastic_response()
+            eps_tot = eq.compute_total_strain()
+            stress = eq.compute_elastic_stress(eps_tot)
+        else:
+            eps_tot = eq.compute_total_strain()
+            stress = eq.sig_v
+
+        eq.compute_eps_ne_rate(stress, tc.t)
+        eq.update_eps_ne_rate_old()
+
+        self._save_derived_and_outputs(0.0)
+
+        while tc.keep_looping():
+            tc.advance_time()
+            t, dt = tc.t, tc.dt
+
+            stress_backup = stress
+            eps_backup = eps_tot
+            eq.save_internal_state()
+
+            dt_current = dt
+            dt_cut = 0
+            step_converged = False
+            ite, error = 0, 2 * self.tol
+            stress_k = stress
+
+            while not step_converged and dt_cut <= self.max_dt_cuts:
+                # fused fixed-point solve: the whole inner loop of reference
+                # Simulators.py:404-438 runs as one jitted XLA program
+                ite, error = eq.solve_time_step(t, dt_current, tol=self.tol,
+                                                maxiter=self.maxiter)
+                stress = eq.sig_v
+                eps_tot = eq.eps_tot_v
+                stress_k = eq._last_sv_k
+
+                if not np.isnan(error) and error <= self.tol:
+                    step_converged = True
+                else:
+                    dt_cut += 1
+                    if dt_cut <= self.max_dt_cuts:
+                        import sys
+                        print(f"[SOLVER] Step {tc.step_counter}: "
+                              f"{'NaN' if np.isnan(error) else 'no convergence'} "
+                              f"after {ite} iters - halving dt, "
+                              f"retry {dt_cut}/{self.max_dt_cuts}",
+                              file=sys.stderr)
+                        dt_current = dt_current / 2
+                        stress = stress_backup
+                        eps_tot = eps_backup
+                        eq.restore_internal_state()
+                    else:
+                        stress = stress_backup
+                        eps_tot = eps_backup
+                        stress_k = stress_backup
+                        eq.restore_internal_state()
+                        self._dump_diagnostics(t, dt_current)
+
+            if step_converged:
+                eq.update_internal_variables()
+                eq.update_eps_ne_rate_old()
+                eq.update_eps_ne_old(stress, stress_k, dt_current)
+
+            self._save_derived_and_outputs(t)
+            current_time = "%.3f" % (t / tc.time_conversion)
+            self.screen.print_row([
+                tc.step_counter,
+                tc.dt / tc.time_conversion,
+                f"{current_time} / {tc.t_final / tc.time_conversion}",
+                ite,
+                error,
+            ])
+
+        self.screen.close()
+        for output in self.outputs:
+            output.save_mesh()
+
+    # ------------------------------------------------------------------ #
+    def _save_derived_and_outputs(self, t):
+        eq = self.eq_mom
+        eq.compute_p_elems()
+        eq.compute_q_elems()
+        eq.compute_p_nodes()
+        eq.compute_q_nodes()
+        for output in self.outputs:
+            output.save_fields(t)
+
+    def _dump_diagnostics(self, t, dt):
+        """NaN diagnostic dump (reference Simulators.py:463-503), npz format."""
+        import sys
+        eq = self.eq_mom
+        diag = {
+            "step": self.t_control.step_counter,
+            "t": t,
+            "dt": dt,
+            "stress": np.asarray(voigt_to_tensor(eq.sig_v)),
+            "eps_tot": np.asarray(voigt_to_tensor(eq.eps_tot_v)),
+            "C_inv": np.asarray(eq.mat.C_inv),
+        }
+        if hasattr(eq.mat, "G"):
+            diag["G_total"] = np.asarray(eq.mat.G)
+        for idx, e in enumerate(eq.mat.elems_ne):
+            prefix = f"elem_{idx}_{e.name}"
+            diag[f"{prefix}_eps_ne_rate"] = np.asarray(e.state["rate"])
+            diag[f"{prefix}_G"] = np.asarray(e.state["G"])
+            diag[f"{prefix}_B"] = np.asarray(e.state["B"])
+            for key in ("alpha", "qsi", "Fvp", "r", "h", "zeta"):
+                if key in e.state:
+                    diag[f"{prefix}_{key}"] = np.asarray(e.state[key])
+        path = os.path.join(os.getcwd(), "nan_diagnostic.npz")
+        np.savez(path, **diag)
+        print(f"[SOLVER] All {self.max_dt_cuts} retries failed at step "
+              f"{self.t_control.step_counter}. Diagnostic saved to {path}",
+              file=sys.stderr)
+
+
+class Simulator_Mout(Simulator_M):
+    """Legacy mechanics driver without dt-retry (reference :646-839)."""
+    max_dt_cuts = 0
+
+
+class Simulator_T(Simulator):
+    """Thermal-only driver (reference :544-639)."""
+
+    def __init__(self, eq_heat, t_control, outputs,
+                 compute_elastic_response: bool = True):
+        self.eq_heat = eq_heat
+        self.t_control = t_control
+        self.outputs = outputs
+        ScreenPrinter.reset_instance()
+        self.screen = ScreenPrinter(eq_heat.grid, eq_heat.solver, eq_heat.mat,
+                                    outputs, t_control.time_unit)
+
+    def run(self):
+        tc = self.t_control
+        for output in self.outputs:
+            output.initialize()
+        for output in self.outputs:
+            output.save_fields(0)
+
+        while tc.keep_looping():
+            tc.advance_time()
+            t, dt = tc.t, tc.dt
+            self.eq_heat.solve(t, dt)
+            for output in self.outputs:
+                output.save_fields(t)
+            current_time = "%.3f" % (t / tc.time_conversion)
+            self.screen.print_row([
+                tc.step_counter, tc.dt / tc.time_conversion,
+                f"{current_time} / {tc.t_final / tc.time_conversion}", 0, 0,
+            ])
+
+        self.screen.close()
+        for output in self.outputs:
+            output.save_mesh()
+
+
+class Simulator_TM(Simulator):
+    """One-way coupled thermo-mechanics (reference :57-270)."""
+
+    tol = 1e-6
+    maxiter = 20
+
+    def __init__(self, eq_mom, eq_heat, t_control, outputs,
+                 compute_elastic_response: bool = True):
+        self.eq_mom = eq_mom
+        self.eq_heat = eq_heat
+        self.t_control = t_control
+        self.outputs = outputs
+        self.compute_elastic_response = compute_elastic_response
+        ScreenPrinter.reset_instance()
+        self.screen = ScreenPrinter(eq_mom.grid, eq_mom.solver, eq_mom.mat,
+                                    outputs, t_control.time_unit)
+
+    def run(self):
+        eq = self.eq_mom
+        heat = self.eq_heat
+        tc = self.t_control
+
+        for output in self.outputs:
+            output.initialize()
+
+        T_elems = heat.get_T_elems()
+        eq.set_T0(T_elems)
+
+        eq.bc.update_dirichlet(tc.t)
+        eq.bc.update_neumann(tc.t)
+
+        if self.compute_elastic_response:
+            eq.solve_elastic_response()
+            eps_tot = eq.compute_total_strain()
+            stress = eq.compute_elastic_stress(eps_tot)
+        else:
+            eps_tot = eq.compute_total_strain()
+            stress = eq.sig_v
+
+        T_elems = heat.get_T_elems()
+        eq.set_T(T_elems)
+        eq.set_T0(T_elems)
+
+        eq.compute_eps_ne_rate(stress, tc.t)
+        eq.update_eps_ne_rate_old()
+
+        self._save_derived_and_outputs(0.0)
+
+        while tc.keep_looping():
+            tc.advance_time()
+            t, dt = tc.t, tc.dt
+
+            eq.bc.update_dirichlet(t)
+            eq.bc.update_neumann(t)
+
+            heat.solve(t, dt)
+            eq.set_T(heat.get_T_elems())
+
+            ite, error = eq.solve_time_step(t, dt, tol=self.tol,
+                                            maxiter=self.maxiter)
+            stress = eq.sig_v
+            eps_tot = eq.eps_tot_v
+            stress_k = eq._last_sv_k
+
+            eq.update_internal_variables()
+            eq.update_eps_ne_rate_old()
+            eq.update_eps_ne_old(stress, stress_k, dt)
+
+            self._save_derived_and_outputs(t)
+            current_time = "%.3f" % (t / tc.time_conversion)
+            self.screen.print_row([
+                tc.step_counter, tc.dt / tc.time_conversion,
+                f"{current_time} / {tc.t_final / tc.time_conversion}",
+                ite, error,
+            ])
+
+        self.screen.close()
+        for output in self.outputs:
+            output.save_mesh()
+
+    def _save_derived_and_outputs(self, t):
+        eq = self.eq_mom
+        eq.compute_p_elems()
+        eq.compute_q_elems()
+        eq.compute_p_nodes()
+        eq.compute_q_nodes()
+        for output in self.outputs:
+            output.save_fields(t)
