@@ -1,0 +1,157 @@
+"""Benchmark: Newton-step wall-clock on a cavern_600-scale problem.
+
+Primary metric (BASELINE.json): Newton-step wall-clock on cavern_600_3D /
+matrix-free CG MDOF/s per chip.  The workload mirrors the reference's
+operation-stage regime (examples/mechanics/4_cavern + 1_triaxial): ~30k-tet
+mesh, full constitutive suite (elastic + Kelvin-Voigt + dislocation creep +
+Desai), theta = 0.5, fixed-point tol 1e-8 / max 40, Krylov rtol 1e-12.
+
+Uses the real cavern_regular_600_3D mesh when the reference checkout is
+mounted; otherwise a structured box with an equivalent element count.
+
+Output: ONE json line  {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against a documented reference estimate of 2.0 s per
+nonlinear time step for SafeInCave's FEniCSx/PETSc CPU stack on this mesh
+class (per-iteration full re-assembly + FD tangents with 12 rate sweeps per
+model per iteration, reference MomentumEquation.py:640-675, SURVEY.md 6;
+no published numbers exist - BASELINE.md records "published: {}").
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_SECONDS_PER_STEP = 2.0  # documented estimate, see module docstring
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(nx=17):
+    import jax.numpy as jnp
+    import safeincave_tpu as sc
+    momBC = sc.MomentumBC
+
+    cav = "/root/reference/grids/cavern_regular_600_3D"
+    if os.path.isfile(os.path.join(cav, "geom.msh")):
+        grid = sc.GridHandlerGMSH("geom", cav)
+        log(f"mesh: cavern_regular_600_3D ({grid.n_nodes} nodes, "
+            f"{grid.n_elems} tets)")
+        # cavern mesh: constrain the outer box faces that exist as tags
+        names = grid.get_boundary_names()
+    else:
+        grid = sc.GridBox(Lx=600.0, Ly=600.0, Lz=800.0, nx=nx, ny=nx, nz=nx)
+        log(f"mesh: synthetic box ({grid.n_nodes} nodes, {grid.n_elems} tets)")
+        names = grid.get_boundary_names()
+
+    eq = sc.LinearMomentum(grid, theta=0.5)
+    eq.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12, max_it=200))
+    n = eq.n_elems
+    one = jnp.ones(n)
+    mat = sc.Material(n)
+    mat.set_density(2200.0 * one)
+    mat.add_to_elastic(sc.Spring(102e9 * one, 0.3 * one))
+    mat.add_to_non_elastic(sc.Viscoelastic(105e11 * one, 10e9 * one, 0.32 * one))
+    mat.add_to_non_elastic(sc.DislocationCreep(1.9e-20 * one, 51600 * one,
+                                               3.0 * one))
+    mat.add_to_non_elastic(sc.ViscoplasticDesai(
+        mu_1=5.3665857009859815e-11 * one, N_1=3.1 * one,
+        a_1=1.965018496922832e-05 * one, eta=0.8275682807874163 * one,
+        n=3.0 * one, beta_1=0.0048 * one, beta=0.995 * one, m=-0.5 * one,
+        gamma=0.095 * one, sigma_t=5.0 * one, alpha_0=0.0022 * one))
+    eq.set_material(mat)
+    eq.set_T0(298.0 * one)
+    eq.set_T(298.0 * one)
+    eq.build_body_force([0.0, 0.0, 0.0])
+
+    bc = momBC.BcHandler(eq)
+    tv = [0.0, 1e12]
+    MPa = 1e6
+
+    def has(name):
+        return name in names
+
+    # generic lithostatic-ish loading adapted to available boundary names
+    fixed = [("WEST", 0), ("SOUTH", 1), ("BOTTOM", 2),
+             ("West", 0), ("South", 1), ("Bottom", 2)]
+    loaded = ["EAST", "NORTH", "TOP", "East", "North", "Top",
+              "Cavern", "CAVERN", "Wall", "WALL"]
+    n_dir = 0
+    for nm, comp in fixed:
+        if has(nm):
+            bc.add_boundary_condition(momBC.DirichletBC(nm, comp,
+                                                        [0., 0.], tv))
+            n_dir += 1
+    if n_dir == 0:  # unknown naming: pin the first boundary in all components
+        nm = names[0]
+        for comp in range(3):
+            bc.add_boundary_condition(momBC.DirichletBC(nm, comp,
+                                                        [0., 0.], tv))
+    for nm in loaded:
+        if has(nm):
+            bc.add_boundary_condition(momBC.NeumannBC(
+                nm, 2, 0.0, 0.0, [10 * MPa, 10 * MPa], tv, g=0.0))
+    eq.set_boundary_conditions(bc)
+    return eq
+
+
+def main():
+    import jax
+    import safeincave_tpu  # noqa: F401  (x64)
+
+    eq = build()
+    dofs = eq.n_nodes * 3
+    log(f"devices: {jax.devices()}  dofs: {dofs}")
+
+    eq.bc.update_dirichlet(0.0)
+    eq.bc.update_neumann(0.0)
+    t0 = time.time()
+    eq.solve_elastic_response()
+    jax.block_until_ready(eq.u)
+    log(f"elastic solve (incl. compile): {time.time()-t0:.2f}s, "
+        f"krylov iters={eq.solver_stats[0]}")
+    eps = eq.compute_total_strain()
+    eq.compute_elastic_stress(eps)
+    eq.compute_eps_ne_rate(eq.sig_v, 0.0)
+    eq.update_eps_ne_rate_old()
+
+    dt = 3600.0
+    # warmup / compile
+    t0 = time.time()
+    ite, err = eq.solve_time_step(dt, dt, tol=1e-8, maxiter=40)
+    jax.block_until_ready(eq.u)
+    log(f"first fused step (incl. compile): {time.time()-t0:.2f}s, "
+        f"iters={ite}, err={err:.2e}")
+    eq.update_internal_variables()
+    eq.update_eps_ne_rate_old()
+    eq.update_eps_ne_old(eq.sig_v, eq._last_sv_k, dt)
+
+    n_steps = 5
+    iters_total = 0
+    t0 = time.time()
+    for k in range(n_steps):
+        t = (k + 2) * dt
+        ite, err = eq.solve_time_step(t, dt, tol=1e-8, maxiter=40)
+        iters_total += ite
+        eq.update_internal_variables()
+        eq.update_eps_ne_rate_old()
+        eq.update_eps_ne_old(eq.sig_v, eq._last_sv_k, dt)
+    jax.block_until_ready(eq.u)
+    elapsed = time.time() - t0
+    per_step = elapsed / n_steps
+    log(f"{n_steps} steps: {elapsed:.3f}s ({per_step*1000:.1f} ms/step, "
+        f"{iters_total/n_steps:.1f} fp-iters/step), final err={err:.2e}")
+
+    print(json.dumps({
+        "metric": "newton_step_wallclock_cavern600",
+        "value": round(per_step, 5),
+        "unit": "s/step",
+        "vs_baseline": round(REFERENCE_SECONDS_PER_STEP / per_step, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

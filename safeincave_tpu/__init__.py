@@ -29,6 +29,9 @@ from .fem import (LinearMomentumBase, LinearMomentum, HeatDiffusion,
 from .bcs import MomentumBC, HeatBC
 from .output import SaveFields, ScreenPrinter
 from .simulators import Simulator_M, Simulator_Mout, Simulator_T, Simulator_TM
+from .config import Simulator_GUI, run_from_json
+from .matpoint import MaterialPointSimulator, calibrate
+from . import postproc as PostProcessingTools  # noqa: N812
 
 __all__ = [
     "Utils", "GPa", "MPa", "kPa", "minute", "hour", "day", "year",
@@ -41,4 +44,6 @@ __all__ = [
     "LinearMomentumBase", "LinearMomentum", "HeatDiffusion", "SolverSettings",
     "MomentumBC", "HeatBC", "SaveFields", "ScreenPrinter",
     "Simulator_M", "Simulator_Mout", "Simulator_T", "Simulator_TM",
+    "Simulator_GUI", "run_from_json", "MaterialPointSimulator", "calibrate",
+    "PostProcessingTools",
 ]

@@ -19,6 +19,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
+from ..linalg import inv3x3
 from ..utils import voigt_to_tensor
 from ..materials.base import _as_voigt
 from .kernels import MomentumKernel
@@ -31,10 +32,23 @@ class SolverSettings:
     reference Simulators.py:1052-1086)."""
     method: str = "bicgstab"   # "cg" | "bicg" | "bicgstab" | "bcgs" | "gmres"
     rtol: float = 1e-12
-    max_it: int = 600
+    max_it: int = 2000
 
     def solve_fn(self):
         return cg_solve if self.method == "cg" else bicgstab_solve
+
+
+def _masked_block_jacobi(kern, CT, mask):
+    """Nodal 3x3 block-Jacobi preconditioner respecting Dirichlet masking."""
+    blk = kern.block_diagonal(CT)
+    blk = blk * mask[:, :, None] * mask[:, None, :]
+    blk = blk + (1.0 - mask)[:, :, None] * jnp.eye(3, dtype=blk.dtype)[None]
+    inv = inv3x3(blk)
+
+    def M_inv(r):
+        return jnp.einsum("nij,nj->ni", inv, r)
+
+    return M_inv
 
 
 class LinearMomentumBase:
@@ -246,10 +260,9 @@ class LinearMomentum(LinearMomentumBase):
                 def Aop(x):
                     return mask * kern.matvec(CT, mask * x) + (1.0 - mask) * x
 
-                diag = mask * kern.diagonal(CT) + (1.0 - mask)
-                diag = jnp.where(jnp.abs(diag) > 0, diag, 1.0)
+                M_inv = _masked_block_jacobi(kern, CT, mask)
                 b_eff = mask * (b - kern.matvec(CT, u_bc)) + (1.0 - mask) * u_bc
-                return solve(Aop, b_eff, x0, lambda r: r / diag,
+                return solve(Aop, b_eff, x0, M_inv,
                              rtol=rtol, maxiter=maxiter)
 
             self._jit_solve = _solve
@@ -333,11 +346,10 @@ class LinearMomentum(LinearMomentumBase):
                 def Aop(x):
                     return mask * kern.matvec(CT, mask * x) + (1.0 - mask) * x
 
-                diag = mask * kern.diagonal(CT) + (1.0 - mask)
-                diag = jnp.where(jnp.abs(diag) > 0, diag, 1.0)
+                M_inv = _masked_block_jacobi(kern, CT, mask)
                 b_eff = mask * (b - kern.matvec(CT, u_bc)) + (1.0 - mask) * u_bc
                 x0 = mask * u + (1.0 - mask) * u_bc
-                u_new, _, _ = solve(Aop, b_eff, x0, lambda r: r / diag,
+                u_new, _, _ = solve(Aop, b_eff, x0, M_inv,
                                     rtol=rtol, maxiter=lin_maxiter)
                 # strain, stress (reference :844-866)
                 eps_new = kern.strain(u_new)

@@ -7,8 +7,19 @@ tracing happens.  TPU supports f64 for all elementwise/matmul ops; LAPACK-style
 ops (LU, eigh) are f32-only on TPU, which is why :mod:`safeincave_tpu.linalg`
 provides custom batched kernels instead of ``jnp.linalg``.
 """
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: first-compile through the TPU toolchain is
+# slow (tens of seconds per program); cached reloads are near-instant.
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # older jax without these options
+    pass
 
 DTYPE = "float64"

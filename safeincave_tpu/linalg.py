@@ -74,6 +74,22 @@ def solve6x6(M: jnp.ndarray, b: jnp.ndarray):
     return jnp.einsum("...ij,...j->...i", inv, b), ok
 
 
+def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (adjugate) inverse of batched 3x3 matrices."""
+    a = M[..., 0, 0]; b = M[..., 0, 1]; c = M[..., 0, 2]
+    d = M[..., 1, 0]; e = M[..., 1, 1]; f = M[..., 1, 2]
+    g = M[..., 2, 0]; h = M[..., 2, 1]; i = M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(det != 0, det, 1.0)
+    row0 = jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1)
+    row1 = jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1)
+    row2 = jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]
+
+
 def eigvalsh3x3(A: jnp.ndarray) -> jnp.ndarray:
     """Analytic eigenvalues of batched symmetric 3x3 matrices, ascending.
 

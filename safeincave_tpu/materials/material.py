@@ -72,9 +72,15 @@ class Material:
         return new_states, G, B
 
     def _elastic_CT(self):
-        """inv(C_inv), cached - the reference's singular-tangent fallback."""
+        """inv(C_inv), cached - the reference's singular-tangent fallback.
+
+        Computed under ensure_compile_time_eval so the cached array is always
+        concrete, even when first touched inside a jit trace (a traced cache
+        entry would leak into later traces)."""
         if getattr(self, "_CT_el", None) is None:
-            self._CT_el, _ = inv6x6(self.C_inv)
+            import jax
+            with jax.ensure_compile_time_eval():
+                self._CT_el, _ = inv6x6(self.C_inv)
         return self._CT_el
 
     def f_CT(self, G, dt, theta):

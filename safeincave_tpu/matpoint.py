@@ -1,0 +1,163 @@
+"""Material-point (0-D) simulator + differentiable calibration utilities.
+
+The reference's v1 architecture had a ``MaterialPointSimulator``
+(docs_archive/source/modules.rst) that v2 dropped; its MaterialCalibration
+examples reimplement point integration ad hoc with scipy L-BFGS-B fits
+(/root/reference/examples/mechanics/MaterialCalibration/optimizer/
+optimizer.py:17-43, models.py:51-296).  This module restores it as a
+first-class component and - being pure JAX - makes the whole stress-driven
+integration differentiable, so calibration can use exact gradients instead of
+finite differences.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .materials.base import _as_voigt
+from .utils import voigt_to_tensor
+
+
+class MaterialPointSimulator:
+    """Integrate the inelastic response at material points under a prescribed
+    stress history (the triaxial-test setting used for calibration).
+
+    Uses the same theta-scheme ISV machinery as the FE solver: per step,
+    tangent -> ISV increment (with sigma = sigma_k) -> rate -> predictor ->
+    commit.
+    """
+
+    def __init__(self, mat, theta: float = 0.5, Temp=None):
+        self.mat = mat
+        self.theta = theta
+        n = mat.n_elems
+        self.Temp = (jnp.full(n, 298.0) if Temp is None
+                     else jnp.asarray(Temp, dtype=jnp.float64))
+
+    def run(self, stress_history, times):
+        """Integrate under the prescribed stress path.
+
+        Parameters
+        ----------
+        stress_history : (T, 3, 3) or (T, n_pts, 3, 3) or (T, n_pts, 6)
+            Stress at each time instant (SafeInCave signs, Pa).
+        times : (T,) seconds.
+
+        Returns
+        -------
+        dict with "eps_ne" (T, n_pts, 3, 3) total inelastic strain,
+        "eps_e" elastic strain, "eps_total", plus per-ISV histories.
+        """
+        mat = self.mat
+        theta = self.theta
+        n = mat.n_elems
+        times = np.asarray(times, dtype=float)
+        hist = np.asarray(stress_history, dtype=float)
+        if hist.ndim == 3 and hist.shape[1:] == (3, 3):
+            hist = np.broadcast_to(hist[:, None, :, :], (hist.shape[0], n, 3, 3))
+
+        sv_hist = [_as_voigt(jnp.asarray(h)) for h in hist]
+        states = [dict(e.state) for e in mat.elems_ne]
+
+        out_eps_ne = []
+        out_isv = {e.name: [] for e in mat.elems_ne}
+
+        sv = sv_hist[0]
+        # initial rates at the first stress state
+        states = [e.f_rate(st, sv, 0.0, self.Temp)
+                  for e, st in zip(mat.elems_ne, states)]
+        states = [e.f_rate_to_old(st)
+                  for e, st in zip(mat.elems_ne, states)]
+        out_eps_ne.append(sum(st["eps_old"] for st in states)
+                          if states else jnp.zeros((n, 6)))
+        self._record_isv(states, out_isv)
+
+        for k in range(1, len(times)):
+            dt = float(times[k] - times[k - 1])
+            sv_k = sv_hist[k - 1]
+            sv = sv_hist[k]
+            new_states = []
+            for e, st in zip(mat.elems_ne, states):
+                st = e.f_tangent(st, sv_k, self.Temp, dt, theta)
+                st = e.f_increment_isv(st, sv, sv_k, dt)
+                st = e.f_rate(st, sv, dt * theta, self.Temp)
+                st = e.f_eps_k(st, dt * theta, dt * (1 - theta))
+                st = e.f_commit_isv(st)
+                st = e.f_update_eps_old(st, sv, sv_k, dt * (1 - theta))
+                st = e.f_rate_to_old(st)
+                new_states.append(st)
+            states = new_states
+            out_eps_ne.append(sum(st["eps_old"] for st in states)
+                              if states else jnp.zeros((n, 6)))
+            self._record_isv(states, out_isv)
+
+        for e, st in zip(mat.elems_ne, states):
+            e.state = st
+
+        eps_ne = jnp.stack(out_eps_ne)                      # (T, n, 6)
+        eps_e = jnp.stack([jnp.einsum("nij,nj->ni", mat.C_inv, s)
+                           for s in sv_hist])
+        result = {
+            "times": times,
+            "eps_ne": voigt_to_tensor(eps_ne),
+            "eps_e": voigt_to_tensor(eps_e),
+            "eps_total": voigt_to_tensor(eps_ne + eps_e),
+        }
+        for name, vals in out_isv.items():
+            if vals and vals[0]:
+                keys = vals[0].keys()
+                result[name] = {k2: np.stack([np.asarray(v[k2]) for v in vals])
+                                for k2 in keys}
+        return result
+
+    @staticmethod
+    def _record_isv(states, out_isv):
+        for (name, _), st in zip(out_isv.items(), states):
+            rec = {}
+            for key in ("alpha", "qsi", "Fvp", "zeta", "F"):
+                if key in st:
+                    rec[key] = st[key]
+            out_isv[name].append(rec)
+
+
+def calibrate(build_result_fn, params0: dict, observed, lr: float = 0.05,
+              steps: int = 200, loss_scale=None):
+    """Gradient-based parameter calibration.
+
+    ``build_result_fn(params) -> prediction array`` must be a pure JAX
+    function of a dict of scalars/arrays; the loss is mean squared error
+    against ``observed``.  Returns (fitted_params, loss_history).
+
+    This replaces the reference's scipy L-BFGS-B finite-difference fits
+    (MaterialCalibration/optimizer/optimizer.py:17-43) with exact autodiff
+    gradients through the integrator, using log-space updates for positivity.
+    """
+    observed = jnp.asarray(observed)
+    scale = jnp.asarray(1.0 if loss_scale is None else loss_scale)
+
+    log_params = {k: jnp.log(jnp.asarray(v, dtype=jnp.float64))
+                  for k, v in params0.items()}
+
+    def loss_fn(lp):
+        params = {k: jnp.exp(v) for k, v in lp.items()}
+        pred = build_result_fn(params)
+        return jnp.mean(((pred - observed) / scale) ** 2)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    history = []
+    # Adam in log-space
+    m = {k: jnp.zeros_like(v) for k, v in log_params.items()}
+    v2 = {k: jnp.zeros_like(v) for k, v in log_params.items()}
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    for i in range(steps):
+        loss, g = grad_fn(log_params)
+        history.append(float(loss))
+        for k in log_params:
+            m[k] = b1 * m[k] + (1 - b1) * g[k]
+            v2[k] = b2 * v2[k] + (1 - b2) * g[k] ** 2
+            mhat = m[k] / (1 - b1 ** (i + 1))
+            vhat = v2[k] / (1 - b2 ** (i + 1))
+            log_params[k] = log_params[k] - lr * mhat / (jnp.sqrt(vhat) + eps)
+    fitted = {k: np.asarray(jnp.exp(v)) for k, v in log_params.items()}
+    return fitted, history

@@ -7,8 +7,9 @@ structured box tet mesher, and a Grid that precomputes every geometric
 quantity (volumes, shape-function gradients, facet areas/normals, smoothing
 operators) as dense arrays ready for gather/segment-sum kernels.
 """
-from .msh_io import read_msh
+from .msh_io import read_msh, write_msh
 from .grid import Grid, GridHandlerGMSH
 from .boxgen import box_mesh, GridBox
 
-__all__ = ["read_msh", "Grid", "GridHandlerGMSH", "box_mesh", "GridBox"]
+__all__ = ["read_msh", "write_msh", "Grid", "GridHandlerGMSH", "box_mesh",
+           "GridBox"]

@@ -77,6 +77,39 @@ def read_msh(path: str) -> MshData:
                    tris=tris, tri_tags=tri_tags, field_data=field_data)
 
 
+def write_msh(path: str, points, tets, tet_tags, tris, tri_tags, field_data):
+    """Write a gmsh v2.2 ASCII mesh (inverse of :func:`read_msh`).
+
+    Lets the framework generate its own grid fixtures (the reference ships
+    gmsh-API generator scripts under grids/ that require the gmsh binary).
+    """
+    points = np.asarray(points)
+    tets = np.asarray(tets)
+    tris = np.asarray(tris)
+    with open(path, "w") as f:
+        f.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
+        f.write(f"$PhysicalNames\n{len(field_data)}\n")
+        for name, (tag, dim) in field_data.items():
+            f.write(f'{dim} {tag} "{name}"\n')
+        f.write("$EndPhysicalNames\n")
+        f.write(f"$Nodes\n{points.shape[0]}\n")
+        for i, (x, y, z) in enumerate(points):
+            f.write(f"{i + 1} {x:.16g} {y:.16g} {z:.16g}\n")
+        f.write("$EndNodes\n")
+        n_elem = tris.shape[0] + tets.shape[0]
+        f.write(f"$Elements\n{n_elem}\n")
+        eid = 1
+        for tri, tag in zip(tris, tri_tags):
+            nodes = " ".join(str(n + 1) for n in tri)
+            f.write(f"{eid} 2 2 {tag} {tag} {nodes}\n")
+            eid += 1
+        for tet, tag in zip(tets, tet_tags):
+            nodes = " ".join(str(n + 1) for n in tet)
+            f.write(f"{eid} 4 2 {tag} {tag} {nodes}\n")
+            eid += 1
+        f.write("$EndElements\n")
+
+
 # ---------------------------------------------------------------------------
 # v2.2
 # ---------------------------------------------------------------------------

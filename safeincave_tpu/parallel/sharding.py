@@ -1,0 +1,241 @@
+"""SPMD domain decomposition over a JAX device mesh.
+
+TPU-native replacement for the reference's MPI parallelism (SURVEY.md 2.2;
+reference Grid.py:275-283 partitions cells via dolfinx and keeps ghost layers
+so constitutive work is communication-free, communicating only at
+assembly/solve through PETSc ghost updates).
+
+Here the same structure maps onto XLA collectives:
+
+* **element axis 'e'**: all per-element arrays (connectivity, gradients,
+  tangents, stresses, ISV states) are sharded; the constitutive update -
+  the FLOP-heavy part - is embarrassingly parallel with zero communication,
+  exactly like the reference's redundant ghost-cell computation.
+* **nodal fields are replicated**: each device scatter-adds its element
+  contributions into a full-size nodal vector and a single ``lax.psum`` over
+  the mesh axis replaces PETSc's ``ghostUpdate(ADD, REVERSE)`` +
+  ``scatter_forward``.  The psum rides ICI.
+* global reductions (CG dot products, convergence norms) are psums, standing
+  in for ``comm.allreduce`` (reference Simulators.py:433-436).
+
+Elements are padded with zero-volume cells to a multiple of the device count;
+padded cells have zero stress/volume so they contribute nothing to forces,
+norms, or rates (every constitutive model guards the zero-stress state).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..utils import tensor_to_voigt, voigt_to_tensor
+
+
+def make_device_mesh(n_devices: int | None = None, axis: str = "e") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _pad_elem_array(arr, n_pad, mode="edge"):
+    """Pad the leading (element) axis.
+
+    ``mode='edge'`` replicates the last real element so padded cells carry
+    finite, physically plausible data (their volume is zeroed separately, so
+    they contribute nothing); ``mode='zero'`` pads with zeros.  Edge padding
+    matters: a NaN anywhere in a padded element's constitutive state would
+    poison the psum-assembled residual since 0 * NaN = NaN.
+    """
+    arr = jnp.asarray(arr)
+    if n_pad == 0:
+        return arr
+    pad_width = [(0, n_pad)] + [(0, 0)] * (arr.ndim - 1)
+    if mode == "edge":
+        return jnp.pad(arr, pad_width, mode="edge")
+    return jnp.pad(arr, pad_width, constant_values=0)
+
+
+class ShardedMomentumKernel:
+    """Drop-in replacement for :class:`fem.kernels.MomentumKernel` whose
+    actions run under ``shard_map``: local gather/einsum/segment-sum followed
+    by ``psum('e')``."""
+
+    def __init__(self, grid, mesh: Mesh, axis: str = "e"):
+        self.grid = grid
+        self.mesh = mesh
+        self.axis = axis
+        D = mesh.devices.size
+        E = grid.n_elems
+        self.n_elems_orig = E
+        self.n_pad = (-E) % D
+        self.n_elems = E + self.n_pad
+        self.n_nodes = grid.n_nodes
+
+        spec_e = NamedSharding(mesh, P(axis))
+        # padded cells: conn -> node 0 (gather target irrelevant), grad_N
+        # edge-replicated (rows sum to zero => padded strain is exactly 0),
+        # volume 0 (no force/diagonal/body contribution)
+        self.conn = jax.device_put(
+            _pad_elem_array(np.asarray(grid.conn, dtype=np.int32),
+                            self.n_pad, mode="zero"), spec_e)
+        self.grad_N = jax.device_put(
+            _pad_elem_array(grid.grad_N, self.n_pad, mode="edge"), spec_e)
+        self.vol = jax.device_put(
+            _pad_elem_array(grid.volumes, self.n_pad, mode="zero"), spec_e)
+
+        ax = axis
+        n_nodes = self.n_nodes
+
+        def _strain_local(u, conn, grad_N):
+            u_e = u[conn]
+            grad_u = jnp.einsum("eai,eaj->eij", u_e, grad_N)
+            eps = 0.5 * (grad_u + jnp.swapaxes(grad_u, -1, -2))
+            return tensor_to_voigt(eps)
+
+        def _force_local(sigma_v, conn, grad_N, vol):
+            sig = voigt_to_tensor(sigma_v)
+            f_e = jnp.einsum("eij,eaj,e->eai", sig, grad_N, vol)
+            f = jax.ops.segment_sum(f_e.reshape(-1, 3), conn.reshape(-1),
+                                    num_segments=n_nodes)
+            return jax.lax.psum(f, ax)
+
+        def _diag_local(CT, conn, grad_N, vol):
+            E3 = jnp.eye(3, dtype=grad_N.dtype)
+            gi = grad_N[:, :, None, :]
+            ei = E3[None, None, :, :]
+            xx = ei[..., 0] * gi[..., 0]
+            yy = ei[..., 1] * gi[..., 1]
+            zz = ei[..., 2] * gi[..., 2]
+            xy = 0.5 * (ei[..., 0] * gi[..., 1] + ei[..., 1] * gi[..., 0])
+            xz = 0.5 * (ei[..., 0] * gi[..., 2] + ei[..., 2] * gi[..., 0])
+            yz = 0.5 * (ei[..., 1] * gi[..., 2] + ei[..., 2] * gi[..., 1])
+            eps6 = jnp.stack([xx, yy, zz, xy, xz, yz], axis=-1)
+            sig6 = jnp.einsum("ekl,eail->eaik", CT, eps6)
+            w = jnp.asarray([1., 1., 1., 2., 2., 2.])
+            d_e = jnp.einsum("eaik,eaik,k,e->eai", sig6, eps6, w, vol)
+            d = jax.ops.segment_sum(d_e.reshape(-1, 3), conn.reshape(-1),
+                                    num_segments=n_nodes)
+            return jax.lax.psum(d, ax)
+
+        def _blockdiag_local(CT, conn, grad_N, vol):
+            E3 = jnp.eye(3, dtype=grad_N.dtype)
+            gi = grad_N[:, :, None, :]
+            ei = E3[None, None, :, :]
+            xx = ei[..., 0] * gi[..., 0]
+            yy = ei[..., 1] * gi[..., 1]
+            zz = ei[..., 2] * gi[..., 2]
+            xy = 0.5 * (ei[..., 0] * gi[..., 1] + ei[..., 1] * gi[..., 0])
+            xz = 0.5 * (ei[..., 0] * gi[..., 2] + ei[..., 2] * gi[..., 0])
+            yz = 0.5 * (ei[..., 1] * gi[..., 2] + ei[..., 2] * gi[..., 1])
+            eps6 = jnp.stack([xx, yy, zz, xy, xz, yz], axis=-1)
+            sig6 = jnp.einsum("ekl,eajl->eajk", CT, eps6)
+            w = jnp.asarray([1., 1., 1., 2., 2., 2.])
+            blk = jnp.einsum("eajk,eaik,k,e->eaij", sig6, eps6, w, vol)
+            d = jax.ops.segment_sum(blk.reshape(-1, 3, 3), conn.reshape(-1),
+                                    num_segments=n_nodes)
+            return jax.lax.psum(d, ax)
+
+        def _body_local(density, g_vec, conn, vol):
+            f_e = (density * vol / 4.0)[:, None] * g_vec[None, :]
+            f = jnp.repeat(f_e[:, None, :], 4, axis=1).reshape(-1, 3)
+            out = jax.ops.segment_sum(f, conn.reshape(-1),
+                                      num_segments=n_nodes)
+            return jax.lax.psum(out, ax)
+
+        Pe, Pr = P(ax), P()  # sharded-by-element vs replicated
+        self._strain = shard_map(_strain_local, mesh=mesh,
+                                 in_specs=(Pr, Pe, Pe), out_specs=Pe)
+        self._force = shard_map(_force_local, mesh=mesh,
+                                in_specs=(Pe, Pe, Pe, Pe), out_specs=Pr)
+        self._diag = shard_map(_diag_local, mesh=mesh,
+                               in_specs=(Pe, Pe, Pe, Pe), out_specs=Pr)
+        self._blockdiag = shard_map(_blockdiag_local, mesh=mesh,
+                                    in_specs=(Pe, Pe, Pe, Pe), out_specs=Pr)
+        self._body = shard_map(_body_local, mesh=mesh,
+                               in_specs=(Pe, Pr, Pe, Pe), out_specs=Pr)
+
+    # -- MomentumKernel API -------------------------------------------- #
+    def strain(self, u):
+        return self._strain(u, self.conn, self.grad_N)
+
+    def internal_force(self, sigma_v):
+        return self._force(sigma_v, self.conn, self.grad_N, self.vol)
+
+    def matvec(self, CT, u):
+        return self.internal_force(
+            jnp.einsum("eij,ej->ei", CT, self.strain(u)))
+
+    def diagonal(self, CT):
+        return self._diag(CT, self.conn, self.grad_N, self.vol)
+
+    def block_diagonal(self, CT):
+        return self._blockdiag(CT, self.conn, self.grad_N, self.vol)
+
+    def body_force(self, density, g_vec):
+        g_vec = jnp.asarray(g_vec, dtype=jnp.float64)
+        return self._body(density, g_vec, self.conn, self.vol)
+
+
+def shard_equation(eq, mesh: Mesh | None = None, axis: str = "e"):
+    """Convert an assembled :class:`LinearMomentum` to SPMD execution.
+
+    Pads every per-element array (kernel geometry, material operators and
+    parameters, element ISV states, stress/strain fields) to a multiple of
+    the device count and places them with a NamedSharding over ``axis``.
+    Nodal fields stay replicated.  The equation's fused jitted step then
+    compiles to an SPMD program with psum collectives.
+    """
+    if mesh is None:
+        mesh = make_device_mesh(axis=axis)
+    kern = ShardedMomentumKernel(eq.grid, mesh, axis)
+    n_pad = kern.n_pad
+    eq.kernel = kern
+    eq.n_elems_orig = kern.n_elems_orig
+    eq.n_elems = kern.n_elems
+
+    spec_e = NamedSharding(mesh, P(axis))
+
+    def pad_put(arr, mode="edge"):
+        return jax.device_put(_pad_elem_array(arr, n_pad, mode), spec_e)
+
+    # equation element fields: zero stress/strain on padded cells is safe -
+    # every constitutive model guards the zero-stress state
+    eq.sig_v = pad_put(eq.sig_v, mode="zero")
+    eq.eps_tot_v = pad_put(eq.eps_tot_v, mode="zero")
+    eq.eps_rhs_v = pad_put(eq.eps_rhs_v, mode="zero")
+    eq.Temp = pad_put(eq.Temp)
+    eq.T0 = pad_put(eq.T0)
+
+    # material operators/parameters: edge-replicate real element data so the
+    # padded constitutive math stays finite
+    mat = eq.mat
+    mat.n_elems = kern.n_elems
+    for name in ("C", "C_inv", "C_tilde", "C_tilde_inv", "density"):
+        if hasattr(mat, name):
+            setattr(mat, name, pad_put(getattr(mat, name)))
+    mat._CT_el = None
+    for elem in mat.elems_ne + mat.elems_e + mat.elems_th:
+        elem.n_elems = kern.n_elems
+        if getattr(elem, "params", None):
+            elem.params = {k: pad_put(v) for k, v in elem.params.items()}
+        if hasattr(elem, "C1"):
+            elem.C1 = pad_put(elem.C1)
+    for elem in mat.elems_ne:
+        elem.state = {k: pad_put(v) for k, v in elem.state.items()}
+    for elem in mat.elems_th:
+        elem.alpha = pad_put(elem.alpha)
+    for elem in mat.elems_e:
+        for name in ("E", "nu", "C", "C_inv", "C_tilde", "C_tilde_inv", "K"):
+            if hasattr(elem, name):
+                setattr(elem, name, pad_put(getattr(elem, name)))
+
+    # invalidate jit caches (kernel changed)
+    eq._jit_solve = None
+    eq._jit_step = None
+    eq._jit_step_key = None
+    return eq

@@ -15,4 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The axon terminal hook forces jax_platforms="axon,cpu" at import time, so
+# the env var alone is not enough - override the config explicitly.
+jax.config.update("jax_platforms", "cpu")
+
 import safeincave_tpu  # noqa: E402,F401  (enables x64)

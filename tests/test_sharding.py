@@ -1,0 +1,92 @@
+"""SPMD sharding tests on the 8-device virtual CPU mesh.
+
+Validates that element-sharded execution (shard_map + psum assembly)
+reproduces single-device results - the correctness contract the reference
+delegates to dolfinx/PETSc ghost updates (SURVEY.md 2.2).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import safeincave_tpu as sc
+from safeincave_tpu.parallel import make_device_mesh, shard_equation
+
+momBC = sc.MomentumBC
+
+E_MOD = 102e9
+NU = 0.3
+P_LOAD = 10e6
+
+
+def _build(nx=3):
+    grid = sc.GridBox(nx=nx, ny=nx, nz=nx)
+    eq = sc.LinearMomentum(grid, theta=0.5)
+    eq.set_solver(sc.SolverSettings(method="cg", rtol=1e-13, max_it=500))
+    n = eq.n_elems
+    mat = sc.Material(n)
+    mat.set_density(2000.0 * jnp.ones(n))
+    mat.add_to_elastic(sc.Spring(E_MOD * jnp.ones(n), NU * jnp.ones(n)))
+    mat.add_to_non_elastic(sc.DislocationCreep(
+        1.9e-20 * jnp.ones(n), 51600 * jnp.ones(n), 3.0 * jnp.ones(n)))
+    eq.set_material(mat)
+    eq.set_T0(298.0 * jnp.ones(n))
+    eq.set_T(298.0 * jnp.ones(n))
+    eq.build_body_force([0.0, 0.0, 0.0])
+    bc = momBC.BcHandler(eq)
+    tv = [0.0, 1e9]
+    bc.add_boundary_condition(momBC.DirichletBC("WEST", 0, [0., 0.], tv))
+    bc.add_boundary_condition(momBC.DirichletBC("SOUTH", 1, [0., 0.], tv))
+    bc.add_boundary_condition(momBC.DirichletBC("BOTTOM", 2, [0., 0.], tv))
+    bc.add_boundary_condition(momBC.NeumannBC("TOP", 2, 0.0, 0.0,
+                                              [P_LOAD, P_LOAD], tv, g=0.0))
+    eq.set_boundary_conditions(bc)
+    return grid, eq
+
+
+def _run_steps(eq, n_steps=2, dt=3600.0):
+    eq.bc.update_dirichlet(0.0)
+    eq.bc.update_neumann(0.0)
+    eq.solve_elastic_response()
+    eps = eq.compute_total_strain()
+    eq.compute_elastic_stress(eps)
+    eq.compute_eps_ne_rate(eq.sig_v, 0.0)
+    eq.update_eps_ne_rate_old()
+    for k in range(n_steps):
+        t = (k + 1) * dt
+        ite, err = eq.solve_time_step(t, dt, tol=1e-8, maxiter=40)
+        eq.update_internal_variables()
+        eq.update_eps_ne_rate_old()
+        eq.update_eps_ne_old(eq.sig_v, eq._last_sv_k, dt)
+    return np.asarray(eq.u), np.asarray(eq.sig_v)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+class TestShardedExecution:
+    def test_matches_single_device(self):
+        grid, eq_ref = _build(nx=3)
+        u_ref, sv_ref = _run_steps(eq_ref)
+
+        grid2, eq_sh = _build(nx=3)
+        n_orig = eq_sh.n_elems
+        mesh = make_device_mesh()
+        shard_equation(eq_sh, mesh)
+        assert eq_sh.n_elems % mesh.devices.size == 0
+        u_sh, sv_sh = _run_steps(eq_sh)
+
+        np.testing.assert_allclose(u_sh, u_ref, rtol=1e-9, atol=1e-15)
+        np.testing.assert_allclose(sv_sh[:n_orig], sv_ref, rtol=1e-8,
+                                   atol=1e-3)
+
+    def test_padded_cells_are_inert(self):
+        grid, eq = _build(nx=2)
+        mesh = make_device_mesh()
+        shard_equation(eq, mesh)
+        # zero-volume padded cells: forces from arbitrary stress vanish
+        sv = jnp.ones((eq.n_elems, 6))
+        f = np.asarray(eq.kernel.internal_force(sv))
+        assert np.isfinite(f).all()
+        # body force matches unsharded total weight
+        fz = float(np.asarray(
+            eq.kernel.body_force(eq.mat.density, [0, 0, -9.81]))[:, 2].sum())
+        np.testing.assert_allclose(fz, -9.81 * 2000.0 * 1.0, rtol=1e-10)
