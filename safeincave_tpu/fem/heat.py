@@ -9,6 +9,7 @@ solved matrix-free with Jacobi-CG (operator is SPD).
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -23,8 +24,8 @@ class HeatDiffusion:
         self.kernel = HeatKernel(grid)
         self.n_elems = grid.n_elems
         self.n_nodes = grid.n_nodes
-        self.T = jnp.zeros(self.n_nodes, dtype=jnp.float64)
-        self.T_old = jnp.zeros(self.n_nodes, dtype=jnp.float64)
+        self.T = jnp.asarray(np.zeros(self.n_nodes))
+        self.T_old = jnp.asarray(np.zeros(self.n_nodes))
         self.solver = SolverSettings(method="cg")
         self.solver_stats = (0, 0.0)
 

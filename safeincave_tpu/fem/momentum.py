@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -62,16 +63,16 @@ class LinearMomentumBase:
         self.n_elems = grid.n_elems
         self.n_nodes = grid.n_nodes
 
-        self.T0 = jnp.zeros(self.n_elems, dtype=jnp.float64)
-        self.Temp = jnp.zeros(self.n_elems, dtype=jnp.float64)
-        self.u = jnp.zeros((self.n_nodes, 3), dtype=jnp.float64)
-        self.sig_v = jnp.zeros((self.n_elems, 6), dtype=jnp.float64)
-        self.eps_tot_v = jnp.zeros((self.n_elems, 6), dtype=jnp.float64)
-        self.q_nodes = jnp.zeros(self.n_nodes, dtype=jnp.float64)
-        self.q_elems = jnp.zeros(self.n_elems, dtype=jnp.float64)
-        self.p_nodes = jnp.zeros(self.n_nodes, dtype=jnp.float64)
-        self.p_elems = jnp.zeros(self.n_elems, dtype=jnp.float64)
-        self.b_body = jnp.zeros((self.n_nodes, 3), dtype=jnp.float64)
+        self.T0 = jnp.asarray(np.zeros(self.n_elems))
+        self.Temp = jnp.asarray(np.zeros(self.n_elems))
+        self.u = jnp.asarray(np.zeros((self.n_nodes, 3)))
+        self.sig_v = jnp.asarray(np.zeros((self.n_elems, 6)))
+        self.eps_tot_v = jnp.asarray(np.zeros((self.n_elems, 6)))
+        self.q_nodes = jnp.asarray(np.zeros(self.n_nodes))
+        self.q_elems = jnp.asarray(np.zeros(self.n_elems))
+        self.p_nodes = jnp.asarray(np.zeros(self.n_nodes))
+        self.p_elems = jnp.asarray(np.zeros(self.n_elems))
+        self.b_body = jnp.asarray(np.zeros((self.n_nodes, 3)))
         self.solver = SolverSettings()
         self.solver_stats = (0, 0.0)
 
@@ -200,7 +201,7 @@ class LinearMomentum(LinearMomentumBase):
 
     def __init__(self, grid, theta: float):
         super().__init__(grid, theta)
-        self.eps_rhs_v = jnp.zeros((self.n_elems, 6), dtype=jnp.float64)
+        self.eps_rhs_v = jnp.asarray(np.zeros((self.n_elems, 6)))
         self._jit_solve = None
         self._jit_step = None
         self._jit_step_key = None

@@ -36,6 +36,7 @@ exactly: ``E = vmap(jacfwd(rate_one)) * diag_col(1,1,1,2,2,2)``.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -57,13 +58,13 @@ class NonElasticElement:
         self.n_elems = n_elems
         self.name = name
         self.params: dict = {}
-        z6 = jnp.zeros((n_elems, 6), dtype=jnp.float64)
+        z6 = jnp.asarray(np.zeros((n_elems, 6)))
         self.state: dict = {
             "rate": z6,
             "rate_old": z6,
             "eps_old": z6,
             "eps_k": z6,
-            "G": jnp.zeros((n_elems, 6, 6), dtype=jnp.float64),
+            "G": jnp.asarray(np.zeros((n_elems, 6, 6))),
             "B": z6,
         }
 

@@ -141,17 +141,19 @@ class MunsonDawsonCreep(NonElasticElement):
             "delta": as64(delta), "mu": as64(mu),
         }
         self.R = _R_GAS
+        import numpy as _np
         n_el = self.n_elems
-        z = jnp.zeros(n_el, dtype=jnp.float64)
+        z = jnp.asarray(_np.zeros(n_el))
+        ones = jnp.asarray(_np.ones(n_el))
         self.state.update({
             "zeta": z,
             "zeta_old": z,
-            "F": jnp.ones(n_el, dtype=jnp.float64),
-            "eps_t_star": jnp.ones(n_el, dtype=jnp.float64),
+            "F": ones,
+            "eps_t_star": ones,
             "r": z,
-            "h": jnp.ones(n_el, dtype=jnp.float64),
-            "P": jnp.zeros((n_el, 6), dtype=jnp.float64),
-            "h_small": jnp.zeros(n_el, dtype=bool),
+            "h": ones,
+            "P": jnp.asarray(_np.zeros((n_el, 6))),
+            "h_small": jnp.asarray(_np.zeros(n_el, dtype=bool)),
         })
 
     # -- per-element physics (reference _compute_md_fields :2095-2155) ----- #

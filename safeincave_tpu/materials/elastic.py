@@ -6,46 +6,49 @@ no LU factorization is needed anywhere in the elastic layer.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..utils import dotdot, tensor_to_voigt, voigt_to_tensor
 from .base import _as_voigt
 
 
-def isotropic_C(E: jnp.ndarray, nu: jnp.ndarray) -> jnp.ndarray:
+def isotropic_C(E, nu) -> jnp.ndarray:
     """Isotropic stiffness in tensorial Voigt: shear diagonal = a0(1-2nu) = 2G.
 
-    Matches reference MaterialProps.py:459-487.
+    Matches reference MaterialProps.py:459-487.  Built host-side in numpy
+    (constructor path - avoids staging dozens of tiny XLA ops per setup).
     """
+    E = np.asarray(E, dtype=np.float64)
+    nu = np.asarray(nu, dtype=np.float64)
     n = E.shape[0]
     a0 = E / ((1 + nu) * (1 - 2 * nu))
-    C = jnp.zeros((n, 6, 6), dtype=jnp.float64)
-    diag_n = a0 * (1 - nu)
-    diag_s = a0 * (1 - 2 * nu)
-    off = a0 * nu
+    C = np.zeros((n, 6, 6))
     for k in range(3):
-        C = C.at[:, k, k].set(diag_n)
-        C = C.at[:, k + 3, k + 3].set(diag_s)
+        C[:, k, k] = a0 * (1 - nu)
+        C[:, k + 3, k + 3] = a0 * (1 - 2 * nu)
     for i in range(3):
         for j in range(3):
             if i != j:
-                C = C.at[:, i, j].set(off)
-    return C
+                C[:, i, j] = a0 * nu
+    return jnp.asarray(C)
 
 
-def isotropic_C_inv(E: jnp.ndarray, nu: jnp.ndarray) -> jnp.ndarray:
+def isotropic_C_inv(E, nu) -> jnp.ndarray:
     """Closed-form compliance: 1/E on normal block, 1/(2G) on shear diagonal."""
+    E = np.asarray(E, dtype=np.float64)
+    nu = np.asarray(nu, dtype=np.float64)
     n = E.shape[0]
-    Ci = jnp.zeros((n, 6, 6), dtype=jnp.float64)
+    Ci = np.zeros((n, 6, 6))
     G2 = E / (1 + nu)  # 2G
     for k in range(3):
-        Ci = Ci.at[:, k, k].set(1.0 / E)
-        Ci = Ci.at[:, k + 3, k + 3].set(1.0 / G2)
+        Ci[:, k, k] = 1.0 / E
+        Ci[:, k + 3, k + 3] = 1.0 / G2
     for i in range(3):
         for j in range(3):
             if i != j:
-                Ci = Ci.at[:, i, j].set(-nu / E)
-    return Ci
+                Ci[:, i, j] = -nu / E
+    return jnp.asarray(Ci)
 
 
 class Spring:
@@ -62,14 +65,14 @@ class Spring:
         n = self.n_elems
         self.C = isotropic_C(self.E, self.nu)
         self.C_inv = isotropic_C_inv(self.E, self.nu)
-        G2 = self.E / (1 + self.nu)  # 2G
-        Ct = jnp.zeros((n, 6, 6), dtype=jnp.float64)
-        Cti = jnp.zeros((n, 6, 6), dtype=jnp.float64)
+        G2 = np.asarray(self.E) / (1 + np.asarray(self.nu))  # 2G
+        Ct = np.zeros((n, 6, 6))
+        Cti = np.zeros((n, 6, 6))
         for k in range(6):
-            Ct = Ct.at[:, k, k].set(G2)
-            Cti = Cti.at[:, k, k].set(1.0 / G2)
-        self.C_tilde = Ct
-        self.C_tilde_inv = Cti
+            Ct[:, k, k] = G2
+            Cti[:, k, k] = 1.0 / G2
+        self.C_tilde = jnp.asarray(Ct)
+        self.C_tilde_inv = jnp.asarray(Cti)
         self.K = self.E / (3 * (1 - 2 * self.nu))
 
     def compute_eps_e(self, stress):

@@ -8,6 +8,7 @@ with the reference's per-element elastic fallback on singular tangents
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..linalg import inv6x6
@@ -20,7 +21,7 @@ class Material:
         self.elems_ne = []
         self.elems_th = []
         self.elems_e = []
-        z66 = jnp.zeros((n_elems, 6, 6), dtype=jnp.float64)
+        z66 = jnp.asarray(np.zeros((n_elems, 6, 6)))
         self.C_inv = z66
         self.C = z66
         self.C_tilde_inv = z66

@@ -62,16 +62,16 @@ class ViscoplasticDesai(NonElasticElement):
             "m": as64(m), "gamma": as64(gamma), "sigma_t": as64(sigma_t),
             "alpha_0": as64(alpha_0),
         }
-        z = jnp.zeros(self.n_elems, dtype=jnp.float64)
+        z = jnp.asarray(np.zeros(self.n_elems))
         self.state.update({
             "alpha": self.params["alpha_0"],
             "qsi": z,
             "qsi_old": z,
             "Fvp": z,
             "r": z,
-            "h": jnp.ones(self.n_elems, dtype=jnp.float64),
-            "P": jnp.zeros((self.n_elems, 6), dtype=jnp.float64),
-            "h_small": jnp.zeros(self.n_elems, dtype=bool),
+            "h": jnp.asarray(np.ones(self.n_elems)),
+            "P": jnp.asarray(np.zeros((self.n_elems, 6))),
+            "h_small": jnp.asarray(np.zeros(self.n_elems, dtype=bool)),
         })
 
     # ------------------------------------------------------------------ #
@@ -364,7 +364,7 @@ class MohrCoulombViscoplastic(NonElasticElement, _DPFlowMixin):
         self.cohesion = cohesion
         self.friction_angle = phi
         self.dilation_angle = psi
-        self.state["Fvp"] = jnp.zeros(self.n_elems, dtype=jnp.float64)
+        self.state["Fvp"] = jnp.asarray(np.zeros(self.n_elems))
 
     @staticmethod
     def _rate_one_static(sv6, p):
@@ -428,7 +428,7 @@ class MatsuokaNakaiViscoplastic(NonElasticElement, _DPFlowMixin):
         self.cohesion = cohesion
         self.friction_angle = phi
         self.dilation_angle = psi
-        self.state["Fvp"] = jnp.zeros(self.n_elems, dtype=jnp.float64)
+        self.state["Fvp"] = jnp.asarray(np.zeros(self.n_elems))
 
     @staticmethod
     def _rate_one_static(sv6, p):
