@@ -31,6 +31,8 @@ from .output import SaveFields, ScreenPrinter
 from .simulators import Simulator_M, Simulator_Mout, Simulator_T, Simulator_TM
 from .config import Simulator_GUI, run_from_json
 from .matpoint import MaterialPointSimulator, calibrate
+from .checkpoint import save_checkpoint, load_checkpoint
+from .metrics import StepMetrics
 from . import postproc as PostProcessingTools  # noqa: N812
 
 __all__ = [
@@ -45,5 +47,5 @@ __all__ = [
     "MomentumBC", "HeatBC", "SaveFields", "ScreenPrinter",
     "Simulator_M", "Simulator_Mout", "Simulator_T", "Simulator_TM",
     "Simulator_GUI", "run_from_json", "MaterialPointSimulator", "calibrate",
-    "PostProcessingTools",
+    "PostProcessingTools", "save_checkpoint", "load_checkpoint", "StepMetrics",
 ]

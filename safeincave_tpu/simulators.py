@@ -24,6 +24,8 @@ from abc import ABC, abstractmethod
 import numpy as np
 import jax.numpy as jnp
 
+from .checkpoint import save_checkpoint
+from .metrics import StepMetrics
 from .output.screen import ScreenPrinter
 from .utils import voigt_to_tensor
 
@@ -38,11 +40,17 @@ class Simulator_M(Simulator):
     """Mechanics-only driver with dt-halving retry (reference :273-541)."""
 
     def __init__(self, eq_mom, t_control, outputs,
-                 compute_elastic_response: bool = True):
+                 compute_elastic_response: bool = True,
+                 metrics: StepMetrics | None = None,
+                 checkpoint_every: int = 0,
+                 checkpoint_path: str = "checkpoint.npz"):
         self.eq_mom = eq_mom
         self.t_control = t_control
         self.outputs = outputs
         self.compute_elastic_response = compute_elastic_response
+        self.metrics = metrics
+        self.checkpoint_every = checkpoint_every
+        self.checkpoint_path = checkpoint_path
         ScreenPrinter.reset_instance()
         self.screen = ScreenPrinter(eq_mom.grid, eq_mom.solver, eq_mom.mat,
                                     outputs, t_control.time_unit)
@@ -126,6 +134,14 @@ class Simulator_M(Simulator):
                 eq.update_eps_ne_old(stress, stress_k, dt_current)
 
             self._save_derived_and_outputs(t)
+            if self.metrics is not None:
+                self.metrics.record(tc.step_counter, t, dt_current, ite, error,
+                                    converged=step_converged,
+                                    dt_cuts=dt_cut,
+                                    krylov=eq.solver_stats[0])
+            if (self.checkpoint_every
+                    and tc.step_counter % self.checkpoint_every == 0):
+                save_checkpoint(self.checkpoint_path, eq, tc)
             current_time = "%.3f" % (t / tc.time_conversion)
             self.screen.print_row([
                 tc.step_counter,
@@ -136,6 +152,8 @@ class Simulator_M(Simulator):
             ])
 
         self.screen.close()
+        if self.metrics is not None:
+            self.metrics.close()
         for output in self.outputs:
             output.save_mesh()
 
