@@ -16,12 +16,16 @@ class (per-iteration full re-assembly + FD tangents with 12 rate sweeps per
 model per iteration, reference MomentumEquation.py:640-675, SURVEY.md 6;
 no published numbers exist - BASELINE.md records "published: {}").
 """
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 REFERENCE_SECONDS_PER_STEP = 2.0  # documented estimate, see module docstring
 
@@ -50,6 +54,7 @@ def build(nx=17):
     eq = sc.LinearMomentum(grid, theta=0.5)
     eq.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12, max_it=200))
     n = eq.n_elems
+    log("building material...")
     one = jnp.ones(n)
     mat = sc.Material(n)
     mat.set_density(2200.0 * one)

@@ -12,6 +12,7 @@ the reference used finite differences.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -47,12 +48,12 @@ class DislocationCreep(NonElasticElement):
     """Power-law creep: rate = A exp(-Q/RT) q^(n-1) s  (reference :890-961)."""
 
     def __init__(self, A, Q, n, name: str = "creep"):
-        A = jnp.asarray(A, dtype=jnp.float64)
+        A = np.asarray(A, dtype=np.float64)
         super().__init__(A.shape[0], name)
         self.params = {
             "A": A,
-            "Q": jnp.asarray(Q, dtype=jnp.float64),
-            "n": jnp.asarray(n, dtype=jnp.float64),
+            "Q": np.asarray(Q, dtype=np.float64),
+            "n": np.asarray(n, dtype=np.float64),
         }
         self.R = _R_GAS
 
@@ -70,12 +71,12 @@ class PressureSolutionCreep(NonElasticElement):
     """Linear creep: rate = (A/(d^3 T)) exp(-Q/RT) s  (reference :964-1034)."""
 
     def __init__(self, A, d, Q, name: str = "creep"):
-        A = jnp.asarray(A, dtype=jnp.float64)
+        A = np.asarray(A, dtype=np.float64)
         super().__init__(A.shape[0], name)
         self.params = {
             "A": A,
-            "d": jnp.asarray(d, dtype=jnp.float64),
-            "Q": jnp.asarray(Q, dtype=jnp.float64),
+            "d": np.asarray(d, dtype=np.float64),
+            "Q": np.asarray(Q, dtype=np.float64),
         }
         self.R = _R_GAS
 
@@ -93,12 +94,12 @@ class Viscoelastic(NonElasticElement):
     """
 
     def __init__(self, eta, E, nu, name: str = "kelvin_voigt"):
-        E = jnp.asarray(E, dtype=jnp.float64)
+        E = np.asarray(E, dtype=np.float64)
         super().__init__(E.shape[0], name)
         self.params = {
-            "eta": jnp.asarray(eta, dtype=jnp.float64),
+            "eta": np.asarray(eta, dtype=np.float64),
             "E": E,
-            "nu": jnp.asarray(nu, dtype=jnp.float64),
+            "nu": np.asarray(nu, dtype=np.float64),
         }
         self.C1 = isotropic_C(E, self.params["nu"])
 
@@ -132,9 +133,9 @@ class MunsonDawsonCreep(NonElasticElement):
 
     def __init__(self, A, Q, n, K0, c, m, alpha_w, beta_w, delta, mu,
                  name: str = "creep_munson_dawson"):
-        A = jnp.asarray(A, dtype=jnp.float64)
+        A = np.asarray(A, dtype=np.float64)
         super().__init__(A.shape[0], name)
-        as64 = lambda x: jnp.asarray(x, dtype=jnp.float64)
+        as64 = lambda x: np.asarray(x, dtype=np.float64)
         self.params = {
             "A": A, "Q": as64(Q), "n": as64(n), "K0": as64(K0), "c": as64(c),
             "m": as64(m), "alpha_w": as64(alpha_w), "beta_w": as64(beta_w),

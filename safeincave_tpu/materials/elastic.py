@@ -31,7 +31,7 @@ def isotropic_C(E, nu) -> jnp.ndarray:
         for j in range(3):
             if i != j:
                 C[:, i, j] = a0 * nu
-    return jnp.asarray(C)
+    return C
 
 
 def isotropic_C_inv(E, nu) -> jnp.ndarray:
@@ -48,15 +48,15 @@ def isotropic_C_inv(E, nu) -> jnp.ndarray:
         for j in range(3):
             if i != j:
                 Ci[:, i, j] = -nu / E
-    return jnp.asarray(Ci)
+    return Ci
 
 
 class Spring:
     """Linear isotropic elastic element (reference MaterialProps.py:385-539)."""
 
     def __init__(self, E, nu, name: str = "spring"):
-        self.E = jnp.asarray(E, dtype=jnp.float64)
-        self.nu = jnp.asarray(nu, dtype=jnp.float64)
+        self.E = np.asarray(E, dtype=np.float64)
+        self.nu = np.asarray(nu, dtype=np.float64)
         self.name = name
         self.n_elems = self.E.shape[0]
         self.eps_e = None
@@ -71,8 +71,8 @@ class Spring:
         for k in range(6):
             Ct[:, k, k] = G2
             Cti[:, k, k] = 1.0 / G2
-        self.C_tilde = jnp.asarray(Ct)
-        self.C_tilde_inv = jnp.asarray(Cti)
+        self.C_tilde = Ct
+        self.C_tilde_inv = Cti
         self.K = self.E / (3 * (1 - 2 * self.nu))
 
     def compute_eps_e(self, stress):
@@ -87,13 +87,13 @@ class Thermoelastic:
     _ISO = jnp.asarray([1., 1., 1., 0., 0., 0.])
 
     def __init__(self, alpha, name: str = "thermoelastic"):
-        self.alpha = jnp.asarray(alpha, dtype=jnp.float64)
+        self.alpha = np.asarray(alpha, dtype=np.float64)
         self.name = name
         self.n_elems = self.alpha.shape[0]
-        self.eps_th_v = jnp.zeros((self.n_elems, 6), dtype=jnp.float64)
+        self.eps_th_v = np.zeros((self.n_elems, 6))
 
-    def eps_th_voigt(self, dT: jnp.ndarray) -> jnp.ndarray:
-        return (self.alpha * dT)[:, None] * self._ISO
+    def eps_th_voigt(self, dT) -> jnp.ndarray:
+        return (jnp.asarray(self.alpha) * dT)[:, None] * self._ISO
 
     def compute_eps_th(self, dT):
         self.eps_th_v = self.eps_th_voigt(jnp.asarray(dT, dtype=jnp.float64))

@@ -21,7 +21,7 @@ class Material:
         self.elems_ne = []
         self.elems_th = []
         self.elems_e = []
-        z66 = jnp.asarray(np.zeros((n_elems, 6, 6)))
+        z66 = np.zeros((n_elems, 6, 6))
         self.C_inv = z66
         self.C = z66
         self.C_tilde_inv = z66
@@ -29,16 +29,16 @@ class Material:
 
     # -- scalar property setters (reference :80-122) ---------------------- #
     def set_density(self, density):
-        self.density = jnp.asarray(density, dtype=jnp.float64)
+        self.density = np.asarray(density, dtype=np.float64)
 
     def set_specific_heat_capacity(self, cp):
-        self.cp = jnp.asarray(cp, dtype=jnp.float64)
+        self.cp = np.asarray(cp, dtype=np.float64)
 
     def set_thermal_conductivity(self, k):
-        self.k = jnp.asarray(k, dtype=jnp.float64)
+        self.k = np.asarray(k, dtype=np.float64)
 
     def set_thermal_expansion(self, alpha_th):
-        self.alpha_th = jnp.asarray(alpha_th, dtype=jnp.float64)
+        self.alpha_th = np.asarray(alpha_th, dtype=np.float64)
 
     # -- element registration (reference :125-170) ------------------------ #
     def add_to_elastic(self, elem):
@@ -79,9 +79,9 @@ class Material:
         concrete, even when first touched inside a jit trace (a traced cache
         entry would leak into later traces)."""
         if getattr(self, "_CT_el", None) is None:
-            import jax
-            with jax.ensure_compile_time_eval():
-                self._CT_el, _ = inv6x6(self.C_inv)
+            # host-side numpy inverse: C_inv is a concrete well-conditioned
+            # compliance, and doing this off-device keeps it out of traces
+            self._CT_el = np.linalg.inv(np.asarray(self.C_inv))
         return self._CT_el
 
     def f_CT(self, G, dt, theta):

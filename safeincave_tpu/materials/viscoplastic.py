@@ -53,9 +53,9 @@ class ViscoplasticDesai(NonElasticElement):
 
     def __init__(self, mu_1, N_1, a_1, eta, n, beta_1, beta, m, gamma,
                  sigma_t, alpha_0, name: str = "desai"):
-        mu_1 = jnp.asarray(mu_1, dtype=jnp.float64)
+        mu_1 = np.asarray(mu_1, dtype=np.float64)
         super().__init__(mu_1.shape[0], name)
-        as64 = lambda x: jnp.asarray(x, dtype=jnp.float64)
+        as64 = lambda x: np.asarray(x, dtype=np.float64)
         self.params = {
             "mu_1": mu_1, "N_1": as64(N_1), "a_1": as64(a_1), "eta": as64(eta),
             "n": as64(n), "beta_1": as64(beta_1), "beta": as64(beta),
@@ -64,7 +64,7 @@ class ViscoplasticDesai(NonElasticElement):
         }
         z = jnp.asarray(np.zeros(self.n_elems))
         self.state.update({
-            "alpha": self.params["alpha_0"],
+            "alpha": jnp.asarray(self.params["alpha_0"]),
             "qsi": z,
             "qsi_old": z,
             "Fvp": z,
@@ -348,13 +348,13 @@ class MohrCoulombViscoplastic(NonElasticElement, _DPFlowMixin):
 
     def __init__(self, mu_1, N_1, cohesion, friction_angle, dilation_angle,
                  sigma_t, name: str = "mohr_coulomb"):
-        mu_1 = jnp.asarray(mu_1, dtype=jnp.float64)
+        mu_1 = np.asarray(mu_1, dtype=np.float64)
         super().__init__(mu_1.shape[0], name)
-        as64 = lambda x: jnp.asarray(x, dtype=jnp.float64)
+        as64 = lambda x: np.asarray(x, dtype=np.float64)
         cohesion = as64(cohesion)
         phi = as64(friction_angle)
         psi = as64(dilation_angle)
-        sin_phi, cos_phi, sin_psi = jnp.sin(phi), jnp.cos(phi), jnp.sin(psi)
+        sin_phi, cos_phi, sin_psi = np.sin(phi), np.cos(phi), np.sin(psi)
         self.params = {
             "mu_1": mu_1, "N_1": as64(N_1), "sigma_t": as64(sigma_t),
             "alpha_F": 2.0 * sin_phi / (np.sqrt(3.0) * (3.0 - sin_phi)),
@@ -409,16 +409,16 @@ class MatsuokaNakaiViscoplastic(NonElasticElement, _DPFlowMixin):
 
     def __init__(self, mu_1, N_1, cohesion, friction_angle, dilation_angle,
                  sigma_t, name: str = "matsuoka_nakai"):
-        mu_1 = jnp.asarray(mu_1, dtype=jnp.float64)
+        mu_1 = np.asarray(mu_1, dtype=np.float64)
         super().__init__(mu_1.shape[0], name)
-        as64 = lambda x: jnp.asarray(x, dtype=jnp.float64)
+        as64 = lambda x: np.asarray(x, dtype=np.float64)
         cohesion = as64(cohesion)
         phi = as64(friction_angle)
         psi = as64(dilation_angle)
-        sin_phi, cos_phi, sin_psi = jnp.sin(phi), jnp.cos(phi), jnp.sin(psi)
-        safe_sin = jnp.where(jnp.abs(sin_phi) < 1e-10, 1.0, sin_phi)
-        shift = jnp.where(jnp.abs(sin_phi) < 1e-10, 0.0,
-                          cohesion * cos_phi / safe_sin)
+        sin_phi, cos_phi, sin_psi = np.sin(phi), np.cos(phi), np.sin(psi)
+        safe_sin = np.where(np.abs(sin_phi) < 1e-10, 1.0, sin_phi)
+        shift = np.where(np.abs(sin_phi) < 1e-10, 0.0,
+                         cohesion * cos_phi / safe_sin)
         self.params = {
             "mu_1": mu_1, "N_1": as64(N_1), "sigma_t": as64(sigma_t),
             "k_nfc": np.sqrt(2.0) * sin_phi,

@@ -51,13 +51,13 @@ def _pad_elem_array(arr, n_pad, mode="edge"):
     matters: a NaN anywhere in a padded element's constitutive state would
     poison the psum-assembled residual since 0 * NaN = NaN.
     """
-    arr = jnp.asarray(arr)
+    arr = np.asarray(arr)
     if n_pad == 0:
         return arr
     pad_width = [(0, n_pad)] + [(0, 0)] * (arr.ndim - 1)
     if mode == "edge":
-        return jnp.pad(arr, pad_width, mode="edge")
-    return jnp.pad(arr, pad_width, constant_values=0)
+        return np.pad(arr, pad_width, mode="edge")
+    return np.pad(arr, pad_width, constant_values=0)
 
 
 class ShardedMomentumKernel:
