@@ -52,10 +52,10 @@ def build(nx=17):
         names = grid.get_boundary_names()
 
     eq = sc.LinearMomentum(grid, theta=0.5)
-    eq.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12, max_it=200))
+    eq.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12, max_it=1000))
     n = eq.n_elems
     log("building material...")
-    one = jnp.ones(n)
+    one = np.ones(n)
     mat = sc.Material(n)
     mat.set_density(2200.0 * one)
     mat.add_to_elastic(sc.Spring(102e9 * one, 0.3 * one))

@@ -7,6 +7,7 @@ subclassing idiom (custom output fields registered in run_after_solve).
 """
 import os
 
+import numpy as np
 import jax.numpy as jnp
 
 import safeincave_tpu as sc
@@ -45,7 +46,7 @@ def main():
                                         max_it=2000))
 
     n = grid.n_elems
-    one = jnp.ones(n)
+    one = np.ones(n)
     mat = sc.Material(n)
     mat.set_density(2000.0 * one)
     mat.add_to_elastic(sc.Spring(102e9 * one, 0.3 * one, "spring"))

@@ -35,7 +35,7 @@ def build_equation():
     eq.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12,
                                     max_it=2000))
     n = grid.n_elems
-    one = jnp.ones(n)
+    one = np.ones(n)
     mat = sc.Material(n)
     mat.set_density(2200.0 * one)
     mat.add_to_elastic(sc.Spring(20.38e9 * one, 0.33 * one, "spring"))

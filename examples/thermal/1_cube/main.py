@@ -4,6 +4,7 @@ Mirrors /root/reference/examples/thermal/1_cube/main.py (Simulator_T usage).
 """
 import os
 
+import numpy as np
 import jax.numpy as jnp
 
 import safeincave_tpu as sc
@@ -17,14 +18,14 @@ def main():
     eq.set_solver(sc.SolverSettings(method="cg", rtol=1e-12, max_it=1000))
 
     n = grid.n_elems
-    one = jnp.ones(n)
+    one = np.ones(n)
     mat = sc.Material(n)
     mat.set_density(2200.0 * one)
     mat.set_specific_heat_capacity(850.0 * one)
     mat.set_thermal_conductivity(5.0 * one)
     eq.set_material(mat)
 
-    eq.set_initial_T(298.0 * jnp.ones(grid.n_nodes))
+    eq.set_initial_T(298.0 * np.ones(grid.n_nodes))
 
     tc = sc.TimeController(dt=0.5, initial_time=0.0, final_time=48.0,
                            time_unit="hour")

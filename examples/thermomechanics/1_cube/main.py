@@ -5,6 +5,7 @@ one-way T -> momentum coupling via thermal strains and Arrhenius creep).
 """
 import os
 
+import numpy as np
 import jax.numpy as jnp
 
 import safeincave_tpu as sc
@@ -17,7 +18,7 @@ heatBC = sc.HeatBC
 def main():
     grid = sc.GridBox(nx=4, ny=4, nz=4)
     n = grid.n_elems
-    one = jnp.ones(n)
+    one = np.ones(n)
 
     # -- heat ----------------------------------------------------------- #
     eq_heat = sc.HeatDiffusion(grid)
