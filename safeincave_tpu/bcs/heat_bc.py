@@ -68,6 +68,7 @@ class BcHandler:
                     values=jnp.asarray(bc.values))
 
     def add_boundary_condition(self, bc: GeneralBC):
+        self._jit_cache = {}
         if bc.type == "dirichlet":
             self.dirichlet_boundaries.append(bc)
             facets = self.grid.get_boundary_tags(bc.boundary_name)
@@ -148,11 +149,19 @@ class BcHandler:
         self.update_neumann(t)
         self.update_robin(t)
 
+    def _jit_of(self, name, fn):
+        cache = getattr(self, "_jit_cache", None)
+        if cache is None:
+            cache = self._jit_cache = {}
+        if name not in cache:
+            cache[name] = jax.jit(fn)
+        return cache[name]
+
     def update_dirichlet(self, t):
-        self.mask, self.T_bc = self.dirichlet_arrays(t)
+        self.mask, self.T_bc = self._jit_of("d", self.dirichlet_arrays)(t)
 
     def update_neumann(self, t):
-        self.b_neumann = self.neumann_rhs(t)
+        self.b_neumann = self._jit_of("n", self.neumann_rhs)(t)
 
     def update_robin(self, t):
-        self.b_robin = self.robin_rhs(t)
+        self.b_robin = self._jit_of("r", self.robin_rhs)(t)

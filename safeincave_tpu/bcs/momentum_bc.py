@@ -65,14 +65,20 @@ class BcHandler:
         self.neumann_boundaries = []
         self._dirichlet_meta = []   # (node_indices, component, times, values)
         self._neumann_meta = []
+        self._jit_dirichlet = None
+        self._jit_neumann = None
 
     def reset_boundary_conditions(self):
         self.dirichlet_boundaries = []
         self.neumann_boundaries = []
         self._dirichlet_meta = []
         self._neumann_meta = []
+        self._jit_dirichlet = None
+        self._jit_neumann = None
 
     def add_boundary_condition(self, bc: GeneralBC):
+        self._jit_dirichlet = None
+        self._jit_neumann = None
         grid = self.grid
         if bc.type == "dirichlet":
             self.dirichlet_boundaries.append(bc)
@@ -137,7 +143,11 @@ class BcHandler:
     # Reference-compatible mutating API (Simulators call these per step)
     # ------------------------------------------------------------------ #
     def update_dirichlet(self, t):
-        self.mask, self.u_bc = self.dirichlet_arrays(t)
+        if self._jit_dirichlet is None:
+            self._jit_dirichlet = jax.jit(self.dirichlet_arrays)
+        self.mask, self.u_bc = self._jit_dirichlet(t)
 
     def update_neumann(self, t):
-        self.b_neumann = self.neumann_rhs(t)
+        if self._jit_neumann is None:
+            self._jit_neumann = jax.jit(self.neumann_rhs)
+        self.b_neumann = self._jit_neumann(t)

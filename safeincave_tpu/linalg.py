@@ -39,11 +39,16 @@ def inv6x6(M: jnp.ndarray, pivot_tol: float = 1e-30):
     """
     n = 6
     batch_shape = M.shape[:-2]
+
+    # normalize to O(1): TPU f64 is range-limited double-float emulation
+    raw_scale = jnp.max(jnp.abs(M), axis=(-2, -1))
+    ok = jnp.isfinite(raw_scale) & (raw_scale > 0)
+    norm = jnp.where(raw_scale > 0, raw_scale, 1.0)
+    M = M / norm[..., None, None]
+
     eye = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape)
     aug = jnp.concatenate([M, eye], axis=-1)  # (..., 6, 12)
-
-    scale = jnp.max(jnp.abs(M), axis=(-2, -1))
-    ok = jnp.isfinite(scale) & (scale > 0)
+    scale = jnp.ones_like(raw_scale)
     rows = jnp.arange(n)
 
     for k in range(n):
@@ -65,7 +70,7 @@ def inv6x6(M: jnp.ndarray, pivot_tol: float = 1e-30):
         elim = aug - factors[..., None] * pivot_row[..., None, :]
         aug = jnp.where((rows == k)[..., None], pivot_row[..., None, :], elim)
 
-    return aug[..., :, n:], ok
+    return aug[..., :, n:] / norm[..., None, None], ok
 
 
 def solve6x6(M: jnp.ndarray, b: jnp.ndarray):
@@ -75,7 +80,16 @@ def solve6x6(M: jnp.ndarray, b: jnp.ndarray):
 
 
 def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form (adjugate) inverse of batched 3x3 matrices."""
+    """Closed-form (adjugate) inverse of batched 3x3 matrices.
+
+    The input is normalized by its max magnitude first: TPU float64 is
+    double-float emulation with float32 exponent range (~1e+-38), so raw
+    adjugate determinants of stiffness-scale blocks (entries ~1e15) would
+    overflow to inf/NaN.  After normalization all intermediates are O(1).
+    """
+    s = jnp.max(jnp.abs(M), axis=(-2, -1), keepdims=True)
+    s = jnp.where(s > 0, s, 1.0)
+    M = M / s
     a = M[..., 0, 0]; b = M[..., 0, 1]; c = M[..., 0, 2]
     d = M[..., 1, 0]; e = M[..., 1, 1]; f = M[..., 1, 2]
     g = M[..., 2, 0]; h = M[..., 2, 1]; i = M[..., 2, 2]
@@ -87,7 +101,8 @@ def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
     row0 = jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1)
     row1 = jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1)
     row2 = jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1)
-    return jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]
+    inv = jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]
+    return inv / s
 
 
 def eigvalsh3x3(A: jnp.ndarray) -> jnp.ndarray:

@@ -62,8 +62,11 @@ class DislocationCreep(NonElasticElement):
         # tiny floor keeps d(q^(n-1))/d(sigma) finite at zero deviatoric
         # stress (the reference's FD probe is finite there too); the floor is
         # far below any physical stress so rates are unchanged.
-        q = _von_mises6_floor(sv6, 1e-150)
-        A_bar = p["A"] * jnp.exp(-p["Q"] / _R_GAS / T) * q ** (p["n"] - 1.0)
+        q = _von_mises6_floor(sv6, 1e-30)
+        # log-space: q**(n-1) alone can exceed the TPU double-float exponent
+        # range (~1e38) for n >= 5.5 at cavern stresses
+        A_bar = jnp.exp(jnp.log(p["A"]) - p["Q"] / _R_GAS / T
+                        + (p["n"] - 1.0) * jnp.log(q))
         return A_bar * dev
 
 
@@ -165,7 +168,9 @@ class MunsonDawsonCreep(NonElasticElement):
         sigma_safe = _von_mises6_floor(sv6, 1.0)
         mu_safe = jnp.maximum(p["mu"], 1.0)
 
-        epsdot_ss = p["A"] * jnp.exp(-p["Q"] / (_R_GAS * T)) * sigma_safe ** p["n"]
+        # log-space steady-state rate (sigma^n alone can overflow TPU df64)
+        epsdot_ss = jnp.exp(jnp.log(p["A"]) - p["Q"] / (_R_GAS * T)
+                            + p["n"] * jnp.log(sigma_safe))
 
         ratio = jnp.maximum(sigma_safe / mu_safe, 1e-30)
         eps_t_star = p["K0"] * jnp.exp(p["c"] * T) * ratio ** p["m"]

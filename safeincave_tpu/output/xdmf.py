@@ -43,11 +43,17 @@ def _field_layout(arr, n_nodes, n_elems):
 class SaveFields:
     """Register fields on an equation and write XDMF time series."""
 
-    def __init__(self, eq):
+    def __init__(self, eq, save_every: int = 1):
+        """``save_every=N`` keeps only every N-th save call (plus the first),
+        the nobian scripts' SparseSaveFields idiom
+        (/root/reference/examples/mechanics/nobian/Simulation/
+        Munsondawson.py:235-247)."""
         self.eq = eq
         self.grid = eq.grid
         self.fields: list[tuple[str, str]] = []
         self.output_folder = "output"
+        self.save_every = save_every
+        self._call_count = 0
         self._handles = {}
         self._times = {}
 
@@ -71,6 +77,10 @@ class SaveFields:
             self._times[field_name] = []
 
     def save_fields(self, t: float):
+        keep = (self._call_count % self.save_every == 0)
+        self._call_count += 1
+        if not keep:
+            return
         for field_name, label in self.fields:
             arr = np.asarray(getattr(self.eq, field_name))
             h5 = self._handles[field_name]
