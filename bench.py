@@ -4,17 +4,26 @@ Primary metric (BASELINE.json): Newton-step wall-clock on cavern_600_3D /
 matrix-free CG MDOF/s per chip.  The workload mirrors the reference's
 operation-stage regime (examples/mechanics/4_cavern + 1_triaxial): ~30k-tet
 mesh, full constitutive suite (elastic + Kelvin-Voigt + dislocation creep +
-Desai), theta = 0.5, fixed-point tol 1e-8 / max 40, Krylov rtol 1e-12.
+Desai), theta = 0.5, fixed-point tol 1e-8 / max 40, Krylov rtol 1e-12
+(mixed-precision: f32 Krylov under f64 defect correction, see
+safeincave_tpu/fem/solvers.py:ir_solve).
 
 Uses the real cavern_regular_600_3D mesh when the reference checkout is
-mounted; otherwise a structured box with an equivalent element count.
+mounted (with Morton element/node reordering for gather locality);
+otherwise a structured box with an equivalent element count.
 
-Output: ONE json line  {"metric", "value", "unit", "vs_baseline"}.
+Reports (stderr): per-step wall-clock, fixed-point iters/step, Krylov
+iters/step, matvec bandwidth vs the v5e HBM roofline, and MDOF/s.
+Output (stdout): ONE json line  {"metric", "value", "unit", "vs_baseline"}.
+
 ``vs_baseline`` compares against a documented reference estimate of 2.0 s per
 nonlinear time step for SafeInCave's FEniCSx/PETSc CPU stack on this mesh
-class (per-iteration full re-assembly + FD tangents with 12 rate sweeps per
-model per iteration, reference MomentumEquation.py:640-675, SURVEY.md 6;
-no published numbers exist - BASELINE.md records "published: {}").
+class: the reference re-assembles A and b and re-solves at rtol=1e-12 every
+fixed-point iteration (~3 iterations/step) and rebuilds FD tangents with 12
+rate sweeps per model per iteration (reference MomentumEquation.py:640-675,
+:1008-1025); ~0.5-0.7 s per assemble+solve on a 16kDOF tet mesh on a CPU
+node is typical for that stack, giving ~2 s/step (SURVEY.md 6; no published
+numbers exist - BASELINE.md records "published: {}").
 """
 import faulthandler
 import json
@@ -28,6 +37,7 @@ import numpy as np
 faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 REFERENCE_SECONDS_PER_STEP = 2.0  # documented estimate, see module docstring
+HBM_GBPS = 819.0                  # TPU v5e HBM bandwidth roofline
 
 
 def log(*a):
@@ -41,10 +51,9 @@ def build(nx=17):
 
     cav = "/root/reference/grids/cavern_regular_600_3D"
     if os.path.isfile(os.path.join(cav, "geom.msh")):
-        grid = sc.GridHandlerGMSH("geom", cav)
+        grid = sc.GridHandlerGMSH("geom", cav, reorder="morton")
         log(f"mesh: cavern_regular_600_3D ({grid.n_nodes} nodes, "
-            f"{grid.n_elems} tets)")
-        # cavern mesh: constrain the outer box faces that exist as tags
+            f"{grid.n_elems} tets, morton-reordered)")
         names = grid.get_boundary_names()
     else:
         grid = sc.GridBox(Lx=600.0, Ly=600.0, Lz=800.0, nx=nx, ny=nx, nz=nx)
@@ -52,7 +61,8 @@ def build(nx=17):
         names = grid.get_boundary_names()
 
     eq = sc.LinearMomentum(grid, theta=0.5)
-    eq.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12, max_it=1000))
+    eq.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12,
+                                    max_it=1000))
     n = eq.n_elems
     log("building material...")
     one = np.ones(n)
@@ -103,6 +113,40 @@ def build(nx=17):
     return eq
 
 
+def bench_matvec(eq):
+    """Matvec bandwidth vs HBM roofline (BASELINE.md SpMV row)."""
+    import jax
+    import jax.numpy as jnp
+    kern = eq.kernel
+    E, N = kern.n_elems, kern.n_nodes
+
+    for dtype, fbytes in ((jnp.float32, 4), (jnp.float64, 8)):
+        CT = eq.mat.C.astype(dtype)
+        u = jnp.asarray(np.random.default_rng(0).normal(size=(N, 3)),
+                        dtype=dtype)
+
+        @jax.jit
+        def many(u):
+            def body(_, v):
+                w = kern.matvec(CT, v)
+                return w / jnp.sqrt(jnp.vdot(w.reshape(-1), w.reshape(-1)))
+            return jax.lax.fori_loop(0, 50, body, u)
+
+        jax.block_until_ready(many(u))  # compile
+        t0 = time.time()
+        jax.block_until_ready(many(u))
+        dt_iter = (time.time() - t0) / 50
+        # bytes/matvec: gather u (12 vals) + grad_N (12) + vol (1) + CT (36)
+        # per element, scatter-add forces (12) + read/write result vector
+        elem_bytes = (12 + 12 + 1 + 36 + 12) * fbytes * E
+        node_bytes = 2 * 3 * fbytes * N
+        gbps = (elem_bytes + node_bytes) / dt_iter / 1e9
+        mdofs = 3 * N / dt_iter / 1e6
+        log(f"matvec[{np.dtype(dtype).name}]: {dt_iter*1e6:.0f} us "
+            f"({mdofs:.0f} MDOF/s, ~{gbps:.0f} GB/s = "
+            f"{100*gbps/HBM_GBPS:.0f}% of HBM roofline)")
+
+
 def main():
     import jax
     import safeincave_tpu  # noqa: F401  (x64)
@@ -117,11 +161,13 @@ def main():
     eq.solve_elastic_response()
     jax.block_until_ready(eq.u)
     log(f"elastic solve (incl. compile): {time.time()-t0:.2f}s, "
-        f"krylov iters={eq.solver_stats[0]}")
+        f"krylov iters={eq.solver_stats[0]}, res={eq.solver_stats[1]:.2e}")
     eps = eq.compute_total_strain()
     eq.compute_elastic_stress(eps)
     eq.compute_eps_ne_rate(eq.sig_v, 0.0)
     eq.update_eps_ne_rate_old()
+
+    bench_matvec(eq)
 
     dt = 3600.0
     # warmup / compile
@@ -129,18 +175,20 @@ def main():
     ite, err = eq.solve_time_step(dt, dt, tol=1e-8, maxiter=40)
     jax.block_until_ready(eq.u)
     log(f"first fused step (incl. compile): {time.time()-t0:.2f}s, "
-        f"iters={ite}, err={err:.2e}")
+        f"iters={ite}, err={err:.2e}, krylov_total={eq.krylov_total}")
     eq.update_internal_variables()
     eq.update_eps_ne_rate_old()
     eq.update_eps_ne_old(eq.sig_v, eq._last_sv_k, dt)
 
-    n_steps = 5
+    n_steps = 20
     iters_total = 0
+    kry_total = 0
     t0 = time.time()
     for k in range(n_steps):
         t = (k + 2) * dt
         ite, err = eq.solve_time_step(t, dt, tol=1e-8, maxiter=40)
         iters_total += ite
+        kry_total += eq.krylov_total
         eq.update_internal_variables()
         eq.update_eps_ne_rate_old()
         eq.update_eps_ne_old(eq.sig_v, eq._last_sv_k, dt)
@@ -148,7 +196,9 @@ def main():
     elapsed = time.time() - t0
     per_step = elapsed / n_steps
     log(f"{n_steps} steps: {elapsed:.3f}s ({per_step*1000:.1f} ms/step, "
-        f"{iters_total/n_steps:.1f} fp-iters/step), final err={err:.2e}")
+        f"{iters_total/n_steps:.1f} fp-iters/step, "
+        f"{kry_total/n_steps:.0f} krylov-iters/step), final err={err:.2e}, "
+        f"last-solve res={eq.solver_stats[1]:.2e}")
 
     print(json.dumps({
         "metric": "newton_step_wallclock_cavern600",

@@ -31,8 +31,17 @@ class MomentumKernel:
         self.conn = jnp.asarray(grid.conn, dtype=jnp.int32)       # (E, 4)
         self.grad_N = jnp.asarray(grid.grad_N)                    # (E, 4, 3)
         self.vol = jnp.asarray(grid.volumes)                      # (E,)
+        # f32 copies of the geometry for the mixed-precision Krylov path
+        # (f64 is software-emulated on TPU; see fem/solvers.py:ir_solve)
+        self.grad_N32 = self.grad_N.astype(jnp.float32)
+        self.vol32 = self.vol.astype(jnp.float32)
         self.n_nodes = grid.n_nodes
         self.n_elems = grid.n_elems
+
+    def _geom(self, dtype):
+        if dtype == jnp.float32:
+            return self.grad_N32, self.vol32
+        return self.grad_N, self.vol
 
     # ------------------------------------------------------------------ #
     def strain(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -42,15 +51,17 @@ class MomentumKernel:
         is what the reference's project(epsilon(u), DG0) computes
         (MomentumEquation.py:326-341).
         """
+        grad_N, _ = self._geom(u.dtype)
         u_e = u[self.conn]                                        # (E, 4, 3)
-        grad_u = jnp.einsum("eai,eaj->eij", u_e, self.grad_N)     # du_i/dx_j
+        grad_u = jnp.einsum("eai,eaj->eij", u_e, grad_N)          # du_i/dx_j
         eps = 0.5 * (grad_u + jnp.swapaxes(grad_u, -1, -2))
         return tensor_to_voigt(eps)
 
     def internal_force(self, sigma_v: jnp.ndarray) -> jnp.ndarray:
         """Nodal forces f_ai = int sigma : eps(v_ai) = V sigma_ij dNa/dx_j."""
+        grad_N, vol = self._geom(sigma_v.dtype)
         sig = voigt_to_tensor(sigma_v)                            # (E, 3, 3)
-        f_e = jnp.einsum("eij,eaj,e->eai", sig, self.grad_N, self.vol)
+        f_e = jnp.einsum("eij,eaj,e->eai", sig, grad_N, vol)
         flat = f_e.reshape(-1, 3)
         return jax.ops.segment_sum(flat, self.conn.reshape(-1),
                                    num_segments=self.n_nodes)

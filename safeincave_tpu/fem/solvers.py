@@ -1,5 +1,5 @@
 """Jitted matrix-free Krylov solvers (CG and BiCGStab) with Jacobi
-preconditioning.
+preconditioning, plus a mixed-precision iterative-refinement driver.
 
 Replaces PETSc KSP (reference Simulators.py:1075-1086; examples use
 cg/bicg/bcgs + ASM/ILU at rtol=1e-12, max_it=100-200).  The operator is a
@@ -9,6 +9,16 @@ no host round-trips.
 
 Convergence: relative residual ||r|| <= rtol * ||b|| (+ atol), like KSP's
 default left-preconditioned residual test but on the true residual.
+
+TPU note: float64 is software-emulated on TPU (v5e and friends), so an f64
+Krylov iteration costs an order of magnitude more than f32.  :func:`ir_solve`
+therefore runs the Krylov iterations in **float32** and wraps them in a
+**float64 defect-correction (iterative refinement) loop**: each outer pass
+computes the true f64 residual r = b - A x, solves A d = r / ||r|| in f32 to
+a loose tolerance, and updates x += ||r|| d in f64.  The final residual test
+is the same f64 criterion as the straight-f64 path, so accuracy is preserved
+while nearly all FLOPs run at native f32 speed.  The restart-per-pass
+structure also doubles as BiCGStab breakdown recovery.
 """
 from __future__ import annotations
 
@@ -70,20 +80,28 @@ def bicgstab_solve(A: Callable, b, x0, M_inv, rtol=1e-12, atol=0.0,
     Needed because the consistent tangent CT with Desai/Munson-Dawson ISV
     coupling is non-symmetric (rank-one H term), which is why the reference
     examples run PETSc bicg/bcgs rather than cg.
+
+    Breakdown (rho or omega collapsing relative to the residual scale) stops
+    the iteration instead of silently looping on garbage; the caller
+    (:func:`ir_solve` or the nonlinear loop) restarts from the true residual,
+    which is the standard BiCGStab restart cure.
     """
     b_norm = jnp.sqrt(_vdot(b, b))
     tol2 = jnp.maximum(rtol * b_norm, atol) ** 2
+    eps = jnp.finfo(b.dtype).eps
 
     r0 = b - A(x0)
     rhat = r0
 
     def cond(carry):
-        x, r, p, v, rho, alpha, omega, k = carry
-        return (_vdot(r, r) > tol2) & (k < maxiter)
+        x, r, p, v, rho, alpha, omega, k, broke = carry
+        return (_vdot(r, r) > tol2) & (k < maxiter) & (~broke)
 
     def body(carry):
-        x, r, p, v, rho, alpha, omega, k = carry
+        x, r, p, v, rho, alpha, omega, k, broke = carry
+        rr = _vdot(r, r)
         rho_new = _vdot(rhat, r)
+        broke = jnp.abs(rho_new) < eps * eps * rr
         beta = (rho_new / jnp.where(rho != 0, rho, 1.0)) * \
                (alpha / jnp.where(omega != 0, omega, 1.0))
         p = r + beta * (p - omega * v)
@@ -95,13 +113,61 @@ def bicgstab_solve(A: Callable, b, x0, M_inv, rtol=1e-12, atol=0.0,
         shat = M_inv(s)
         t = A(shat)
         tt = _vdot(t, t)
+        broke = broke | (tt == 0)
         omega = _vdot(t, s) / jnp.where(tt != 0, tt, 1.0)
         x = x + alpha * phat + omega * shat
         r = s - omega * t
-        return x, r, p, v, rho_new, alpha, omega, k + 1
+        return x, r, p, v, rho_new, alpha, omega, k + 1, broke
 
     init = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b),
             jnp.asarray(1.0, b.dtype), jnp.asarray(1.0, b.dtype),
-            jnp.asarray(1.0, b.dtype), 0)
-    x, r, _, _, _, _, _, k = jax.lax.while_loop(cond, body, init)
+            jnp.asarray(1.0, b.dtype), 0, jnp.asarray(False))
+    x, r, *_, k, _ = jax.lax.while_loop(cond, body, init)
     return x, k, jnp.sqrt(_vdot(r, r))
+
+
+def ir_solve(A_hi: Callable, A_lo: Callable, b, x0, M_inv_lo,
+             inner_solve: Callable = bicgstab_solve,
+             rtol=1e-12, atol=0.0, inner_rtol=1e-5, inner_maxiter=300,
+             max_passes=8):
+    """Mixed-precision defect correction: f32 Krylov under f64 refinement.
+
+    Each pass solves ``A_lo d = r / ||r||`` in the low precision (so the
+    inner right-hand side is always O(1), well inside f32 range), then
+    applies ``x += ||r|| d`` and recomputes the **true f64 residual**.
+    Converges when ``||r|| <= max(rtol ||b||, atol)`` -- the identical
+    criterion a straight f64 Krylov solve uses -- or when a pass stops
+    making progress (stagnation guard: each pass must at least halve the
+    residual; f32 roundoff limits a pass to ~1e-6 reduction anyway, so
+    stagnation means the preconditioned operator is too ill-conditioned
+    for f32 and the caller sees the honest final residual).
+
+    Returns (x, total_inner_iterations, final_f64_residual_norm).
+    """
+    lo = jnp.float32
+    b_norm = jnp.sqrt(_vdot(b, b))
+    tol = jnp.maximum(rtol * b_norm, atol)
+
+    r0 = b - A_hi(x0)
+    rnorm0 = jnp.sqrt(_vdot(r0, r0))
+
+    def cond(carry):
+        x, r, rnorm, rnorm_prev, k_tot, passes = carry
+        return ((rnorm > tol) & (passes < max_passes)
+                & (rnorm < 0.5 * rnorm_prev) & jnp.isfinite(rnorm))
+
+    def body(carry):
+        x, r, rnorm, rnorm_prev, k_tot, passes = carry
+        scale = jnp.where(rnorm > 0, rnorm, 1.0)
+        rhs = (r / scale).astype(lo)
+        d, k, _ = inner_solve(A_lo, rhs, jnp.zeros_like(rhs), M_inv_lo,
+                              rtol=inner_rtol, maxiter=inner_maxiter)
+        x = x + scale * d.astype(b.dtype)
+        r = b - A_hi(x)
+        rn = jnp.sqrt(_vdot(r, r))
+        return x, r, rn, rnorm, k_tot + k, passes + 1
+
+    # rnorm_prev starts at +inf so the first pass always runs
+    init = (x0, r0, rnorm0, jnp.asarray(jnp.inf, b.dtype), 0, 0)
+    x, r, rnorm, _, k_tot, _ = jax.lax.while_loop(cond, body, init)
+    return x, k_tot, rnorm

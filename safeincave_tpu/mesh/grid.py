@@ -231,12 +231,29 @@ class Grid:
 
 
 class GridHandlerGMSH(Grid):
-    """Load a gmsh ``.msh`` into a :class:`Grid` (reference Grid.py:27-113)."""
+    """Load a gmsh ``.msh`` into a :class:`Grid` (reference Grid.py:27-113).
 
-    def __init__(self, geometry_name: str, grid_folder: str):
+    ``reorder="morton"`` (or ``"rcb"`` with ``nparts``) renumbers elements
+    along a space-filling curve and nodes by first touch before geometry
+    build - the locality preprocessing the matrix-free gather/scatter
+    kernels want (SURVEY.md 7.3); the reference never needed it because
+    PETSc assembles sparse matrices.
+    """
+
+    def __init__(self, geometry_name: str, grid_folder: str,
+                 reorder: str | None = None, nparts: int | None = None):
         self.grid_folder = grid_folder
         self.geometry_name = geometry_name
         path = os.path.join(grid_folder, f"{geometry_name}.msh")
         data: MshData = read_msh(path)
-        super().__init__(data.points, data.tets, data.tet_tags,
-                         data.tris, data.tri_tags, data.field_data)
+        points, tets, tet_tags = data.points, data.tets, data.tet_tags
+        tris, tri_tags = data.tris, data.tri_tags
+        self.elem_parts = None
+        if reorder:
+            from .reorder import reorder_arrays
+            points, tets, tet_tags, tris, tri_tags, parts = reorder_arrays(
+                points, tets, tet_tags, tris, tri_tags,
+                method=reorder, nparts=nparts)
+            self.elem_parts = parts
+        super().__init__(points, tets, tet_tags, tris, tri_tags,
+                         data.field_data)

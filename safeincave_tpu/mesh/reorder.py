@@ -29,6 +29,37 @@ def _field_data(grid) -> dict:
     return fd
 
 
+def reorder_arrays(points, tets, tet_tags, tris, tri_tags,
+                   method: str = "morton", nparts: int | None = None):
+    """Reorder raw mesh arrays before Grid construction.
+
+    Returns (points, tets, tet_tags, tris, tri_tags, parts) with elements in
+    locality order (Morton / RCB over centroids) and nodes renumbered by
+    first touch; ``parts`` is the per-element RCB partition id (None for
+    morton).  Used by the grid handlers' ``reorder=`` option so loaded
+    meshes get gather/scatter locality by default.
+    """
+    centroids = points[tets].mean(axis=1)
+    if method == "rcb":
+        if not nparts or nparts < 1:
+            raise ValueError("rcb reordering needs nparts >= 1")
+        parts, order = rcb_partition(centroids, nparts)
+        parts = parts[order]
+    elif method == "morton":
+        order = morton_order(centroids)
+        parts = None
+    else:
+        raise ValueError(f"unknown reorder method {method!r}")
+
+    tets_new = tets[order]
+    nperm = node_first_touch(tets_new, points.shape[0])
+    points_new = np.empty_like(points)
+    points_new[nperm] = points
+    tets_new = nperm[tets_new].astype(np.int32)
+    tris_new = nperm[tris].astype(np.int32) if tris.shape[0] else tris
+    return points_new, tets_new, tet_tags[order], tris_new, tri_tags, parts
+
+
 def reordered_grid(grid, method: str = "morton", nparts: int | None = None):
     """Return (new_grid, elem_order, node_perm).
 

@@ -87,6 +87,9 @@ class ShardedMomentumKernel:
             _pad_elem_array(grid.grad_N, self.n_pad, mode="edge"), spec_e)
         self.vol = jax.device_put(
             _pad_elem_array(grid.volumes, self.n_pad, mode="zero"), spec_e)
+        # f32 geometry for the mixed-precision Krylov path
+        self.grad_N32 = self.grad_N.astype(jnp.float32)
+        self.vol32 = self.vol.astype(jnp.float32)
 
         ax = axis
         n_nodes = self.n_nodes
@@ -160,11 +163,18 @@ class ShardedMomentumKernel:
                                in_specs=(Pe, Pr, Pe, Pe), out_specs=Pr)
 
     # -- MomentumKernel API -------------------------------------------- #
+    def _geom(self, dtype):
+        if dtype == jnp.float32:
+            return self.grad_N32, self.vol32
+        return self.grad_N, self.vol
+
     def strain(self, u):
-        return self._strain(u, self.conn, self.grad_N)
+        grad_N, _ = self._geom(u.dtype)
+        return self._strain(u, self.conn, grad_N)
 
     def internal_force(self, sigma_v):
-        return self._force(sigma_v, self.conn, self.grad_N, self.vol)
+        grad_N, vol = self._geom(sigma_v.dtype)
+        return self._force(sigma_v, self.conn, grad_N, vol)
 
     def matvec(self, CT, u):
         return self.internal_force(

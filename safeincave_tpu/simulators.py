@@ -63,6 +63,12 @@ class Simulator_M(Simulator):
     def run(self):
         eq = self.eq_mom
         tc = self.t_control
+        # Checkpoint resume: tc.step_counter > 0 means load_checkpoint
+        # restored mid-run state, including the committed rate/rate_old
+        # arrays.  Re-initializing the rates here would clobber them (the
+        # Kelvin-Voigt rate depends on phi1 = theta*t, which is only ~0 at a
+        # fresh start), breaking exact continuation.
+        resumed = tc.step_counter > 0
 
         for output in self.outputs:
             output.initialize()
@@ -70,7 +76,7 @@ class Simulator_M(Simulator):
         eq.bc.update_dirichlet(tc.t)
         eq.bc.update_neumann(tc.t)
 
-        if self.compute_elastic_response:
+        if self.compute_elastic_response and not resumed:
             eq.solve_elastic_response()
             eps_tot = eq.compute_total_strain()
             stress = eq.compute_elastic_stress(eps_tot)
@@ -78,10 +84,10 @@ class Simulator_M(Simulator):
             eps_tot = eq.compute_total_strain()
             stress = eq.sig_v
 
-        eq.compute_eps_ne_rate(stress, tc.t)
-        eq.update_eps_ne_rate_old()
-
-        self._save_derived_and_outputs(0.0)
+        if not resumed:
+            eq.compute_eps_ne_rate(stress, tc.t)
+            eq.update_eps_ne_rate_old()
+            self._save_derived_and_outputs(0.0)
 
         while tc.keep_looping():
             tc.advance_time()
@@ -89,7 +95,24 @@ class Simulator_M(Simulator):
 
             stress_backup = stress
             eps_backup = eps_tot
+            u_backup = eq.u
             eq.save_internal_state()
+
+            def restore_step_state():
+                """Full rollback to the pre-attempt state.
+
+                solve_time_step reads eq.sig_v / eq.eps_tot_v / eq.u (the
+                displacement doubles as the Krylov initial guess), so a
+                retry must reset the equation fields too, not just the
+                Python locals - otherwise the halved-dt attempt restarts
+                from the poisoned (possibly NaN) state.  Mirrors reference
+                Simulators.py:441-503.
+                """
+                eq.sig_v = stress_backup
+                eq.eps_tot_v = eps_backup
+                eq.u = u_backup
+                eq._last_sv_k = stress_backup
+                eq.restore_internal_state()
 
             dt_current = dt
             dt_cut = 0
@@ -118,15 +141,15 @@ class Simulator_M(Simulator):
                               f"retry {dt_cut}/{self.max_dt_cuts}",
                               file=sys.stderr)
                         dt_current = dt_current / 2
+                        restore_step_state()
                         stress = stress_backup
                         eps_tot = eps_backup
-                        eq.restore_internal_state()
                     else:
+                        self._dump_diagnostics(t, dt_current)
+                        restore_step_state()
                         stress = stress_backup
                         eps_tot = eps_backup
                         stress_k = stress_backup
-                        eq.restore_internal_state()
-                        self._dump_diagnostics(t, dt_current)
 
             if step_converged:
                 eq.update_internal_variables()
@@ -135,10 +158,15 @@ class Simulator_M(Simulator):
 
             self._save_derived_and_outputs(t)
             if self.metrics is not None:
+                # solver_stats/krylov_total come from the fused step's
+                # carried counters (last linear solve iters + residual,
+                # total Krylov iters over the fixed-point loop)
                 self.metrics.record(tc.step_counter, t, dt_current, ite, error,
                                     converged=step_converged,
                                     dt_cuts=dt_cut,
-                                    krylov=eq.solver_stats[0])
+                                    krylov=eq.solver_stats[0],
+                                    krylov_total=eq.krylov_total,
+                                    lin_res=eq.solver_stats[1])
             if (self.checkpoint_every
                     and tc.step_counter % self.checkpoint_every == 0):
                 save_checkpoint(self.checkpoint_path, eq, tc)

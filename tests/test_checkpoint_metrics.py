@@ -19,6 +19,11 @@ def _build(nx=2):
     mat = sc.Material(n)
     mat.set_density(2000.0 * one)
     mat.add_to_elastic(sc.Spring(102e9 * one, 0.3 * one))
+    # Kelvin-Voigt is the resume acid test: its rate depends on
+    # phi1 = theta * t, so re-initializing rates at resume time (t >> 0)
+    # instead of keeping the restored arrays breaks exact continuation
+    mat.add_to_non_elastic(sc.Viscoelastic(105e11 * one, 10e9 * one,
+                                           0.32 * one))
     mat.add_to_non_elastic(sc.DislocationCreep(1.9e-20 * one, 51600 * one,
                                                3.0 * one))
     mat.add_to_non_elastic(sc.ViscoplasticDesai(

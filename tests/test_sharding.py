@@ -75,8 +75,11 @@ class TestShardedExecution:
         u_sh, sv_sh = _run_steps(eq_sh)
 
         np.testing.assert_allclose(u_sh, u_ref, rtol=1e-9, atol=1e-15)
+        # atol on near-zero stress components: 1e-2 Pa against 10 MPa loads
+        # (= 1e-9 of the load) - the rtol-level Krylov noise floor of the
+        # mixed-precision solve, which rounds differently per device layout
         np.testing.assert_allclose(sv_sh[:n_orig], sv_ref, rtol=1e-8,
-                                   atol=1e-3)
+                                   atol=1e-2)
 
     def test_padded_cells_are_inert(self):
         grid, eq = _build(nx=2)
