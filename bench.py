@@ -61,8 +61,10 @@ def build(nx=17):
         names = grid.get_boundary_names()
 
     eq = sc.LinearMomentum(grid, theta=0.5)
+    # max_it is the per-refinement-pass f32 Krylov cap; iterations past what
+    # f32 can resolve (~inner_rtol) are waste, the f64 restart is cheap
     eq.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12,
-                                    max_it=1000))
+                                    max_it=400))
     n = eq.n_elems
     log("building material...")
     one = np.ones(n)

@@ -23,7 +23,7 @@ from .materials import (
     MunsonDawsonCreep,
 )
 from .timecontrol import TimeControllerBase, TimeController, TimeControllerParabolic
-from .mesh import Grid, GridHandlerGMSH, GridBox
+from .mesh import Grid, GridHandlerGMSH, GridBox, GridBoxRegions
 from .fem import (LinearMomentumBase, LinearMomentum, HeatDiffusion,
                   SolverSettings)
 from .bcs import MomentumBC, HeatBC
@@ -42,7 +42,7 @@ __all__ = [
     "ViscoplasticDesai", "MohrCoulombViscoplastic",
     "MatsuokaNakaiViscoplastic", "MunsonDawsonCreep",
     "TimeControllerBase", "TimeController", "TimeControllerParabolic",
-    "Grid", "GridHandlerGMSH", "GridBox",
+    "Grid", "GridHandlerGMSH", "GridBox", "GridBoxRegions",
     "LinearMomentumBase", "LinearMomentum", "HeatDiffusion", "SolverSettings",
     "MomentumBC", "HeatBC", "SaveFields", "ScreenPrinter",
     "Simulator_M", "Simulator_Mout", "Simulator_T", "Simulator_TM",

@@ -42,8 +42,16 @@ class SolverSettings:
     rtol: float = 1e-12
     max_it: int = 2000          # per-pass Krylov iteration cap
     precision: str = "mixed"    # "mixed" | "f64"
-    inner_rtol: float = 1e-6    # f32 pass target (mixed only)
-    max_passes: int = 10        # defect-correction passes (mixed only)
+    # f32 pass target: safely above the f32 matvec noise floor (the cumsum
+    # assembly adds ~3e-6 relative noise); the f64 refinement loop supplies
+    # the remaining decades at ~one cheap pass per 1e-4 reduction
+    inner_rtol: float = 1e-4
+    max_passes: int = 12        # defect-correction passes (mixed only)
+    # "2level" = block-Jacobi smoother + dense coarse-space correction over
+    # contiguous node aggregates (stands in for the reference's ASM/ILU,
+    # far stronger than Jacobi for 3D elasticity); "jacobi" = nodal blocks
+    precond: str = "2level"
+    coarse_agg: int = 16        # nodes per coarse aggregate
 
     def solve_fn(self):
         return cg_solve if self.method == "cg" else bicgstab_solve
@@ -70,6 +78,66 @@ def _masked_block_jacobi(kern, CT, mask):
     return M_inv, M_inv32
 
 
+def _coarse_space(kern, CT, mask, G):
+    """Dense coarse operator over contiguous node aggregates.
+
+    Nodes are Morton/first-touch ordered (mesh/reorder.py), so aggregates of
+    G consecutive node ids are spatially compact - the restriction is a pure
+    reshape-sum and the prolongation a repeat, with no indexed memory ops in
+    the Krylov loop.  The coarse matrix R A R^T is assembled from the
+    per-element 12x12 stiffness (Dirichlet rows/cols masked at the fine
+    level) and inverted densely in f32 (TPU LAPACK ops are f32-only); it is
+    a preconditioner, so f32 is ample.
+
+    Returns (coarse_inv (3n_agg, 3n_agg) f32, n_agg).
+    """
+    n_nodes = kern.n_nodes
+    n_agg = -(-n_nodes // G)
+    pad = n_agg * G - n_nodes
+
+    g = kern.grad_N
+    E3 = jnp.eye(3, dtype=g.dtype)
+    gi = g[:, :, None, :]
+    ei = E3[None, None, :, :]
+    xx = ei[..., 0] * gi[..., 0]
+    yy = ei[..., 1] * gi[..., 1]
+    zz = ei[..., 2] * gi[..., 2]
+    xy = 0.5 * (ei[..., 0] * gi[..., 1] + ei[..., 1] * gi[..., 0])
+    xz = 0.5 * (ei[..., 0] * gi[..., 2] + ei[..., 2] * gi[..., 0])
+    yz = 0.5 * (ei[..., 1] * gi[..., 2] + ei[..., 2] * gi[..., 1])
+    eps6 = jnp.stack([xx, yy, zz, xy, xz, yz], axis=-1)       # (E,4,3,6)
+    w = jnp.asarray([1., 1., 1., 2., 2., 2.], dtype=g.dtype)
+    sig6 = jnp.einsum("ekl,ebjl->ebjk", CT, eps6)
+    Ke = jnp.einsum("ebjk,eaik,k,e->eaibj", sig6, eps6, w, kern.vol)
+    # fine-level Dirichlet elimination (the masked operator's coarse image)
+    mrows = mask[kern.conn]                                    # (E,4,3)
+    Ke = Ke * mrows[:, :, :, None, None] * mrows[:, None, None, :, :]
+
+    agg = kern.conn // G                                       # (E,4)
+    pair = (agg[:, :, None] * n_agg + agg[:, None, :])         # (E,4,4)
+    flat = jnp.transpose(Ke, (0, 1, 3, 2, 4)).reshape(-1, 3, 3)
+    Ac = jax.ops.segment_sum(flat, pair.reshape(-1),
+                             num_segments=n_agg * n_agg)
+    Ac = Ac.reshape(n_agg, n_agg, 3, 3).transpose(0, 2, 1, 3)
+    Ac = Ac.reshape(3 * n_agg, 3 * n_agg).astype(jnp.float32)
+    # keep rows of empty/Dirichlet-only aggregates invertible
+    d = jnp.diagonal(Ac)
+    Ac = Ac + jnp.diag(jnp.where(jnp.abs(d) > 0, 0.0, 1.0).astype(jnp.float32))
+    return jnp.linalg.inv(Ac), n_agg, pad
+
+
+def _two_level_apply(blk_apply, coarse_inv, mask, n_agg, G, pad):
+    """Additive two-level preconditioner: block-Jacobi + coarse correction."""
+    def M_inv(r):
+        z = blk_apply(r)
+        rp = jnp.pad(r * mask, ((0, pad), (0, 0)))
+        rc = rp.reshape(n_agg, G, 3).sum(axis=1).astype(jnp.float32)
+        zc = (coarse_inv @ rc.reshape(-1)).reshape(n_agg, 3)
+        zf = jnp.repeat(zc, G, axis=0)[:r.shape[0]].astype(r.dtype)
+        return z + zf * mask
+    return M_inv
+
+
 def _make_masked_solver(kern, settings: SolverSettings):
     """Build solve_lin(CT, b, mask, u_bc, x0, rtol) -> (x, iters, res).
 
@@ -82,18 +150,32 @@ def _make_masked_solver(kern, settings: SolverSettings):
     solve = settings.solve_fn()
     mixed = settings.precision == "mixed"
 
+    # the dense coarse space needs the unsharded kernel's global geometry;
+    # the SPMD path keeps block-Jacobi (its psum'd diagonal is global)
+    two_level = (settings.precond == "2level"
+                 and hasattr(kern, "_scat_perm"))
+
     def solve_lin(CT, b, mask, u_bc, x0, rtol):
+        CT_hi = kern.prep(CT)
+
         def Aop(x):
-            return mask * kern.matvec(CT, mask * x) + (1.0 - mask) * x
+            return mask * kern.matvec(CT_hi, mask * x) + (1.0 - mask) * x
 
         M_inv, M_inv32 = _masked_block_jacobi(kern, CT, mask)
-        b_eff = mask * (b - kern.matvec(CT, u_bc)) + (1.0 - mask) * u_bc
+        if two_level:
+            G = settings.coarse_agg
+            coarse_inv, n_agg, pad = _coarse_space(kern, CT, mask, G)
+            M_inv = _two_level_apply(M_inv, coarse_inv, mask, n_agg, G, pad)
+            M_inv32 = _two_level_apply(M_inv32, coarse_inv,
+                                       mask.astype(jnp.float32), n_agg, G,
+                                       pad)
+        b_eff = mask * (b - kern.matvec(CT_hi, u_bc)) + (1.0 - mask) * u_bc
         if mixed:
-            CT32 = CT.astype(jnp.float32)
+            CT_lo = kern.prep(CT.astype(jnp.float32))
             mask32 = mask.astype(jnp.float32)
 
             def Aop32(x):
-                return (mask32 * kern.matvec(CT32, mask32 * x)
+                return (mask32 * kern.matvec(CT_lo, mask32 * x)
                         + (1.0 - mask32) * x)
 
             return ir_solve(Aop, Aop32, b_eff, x0, M_inv32,
@@ -461,6 +543,7 @@ class LinearMomentum(LinearMomentumBase):
         """
         key = (id(self.mat), id(self.bc), self.solver.method,
                self.solver.rtol, self.solver.max_it, self.solver.precision,
+               self.solver.precond, self.solver.coarse_agg,
                len(self.mat.elems_ne), len(self.mat.elems_th))
         if self._jit_step is None or self._jit_step_key != key:
             self._jit_step = self._build_jit_step()

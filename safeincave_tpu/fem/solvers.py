@@ -53,7 +53,8 @@ def cg_solve(A: Callable, b, x0, M_inv, rtol=1e-12, atol=0.0, maxiter=200):
 
     def cond(carry):
         x, r, z, p, rz, k = carry
-        return (_vdot(r, r) > tol2) & (k < maxiter)
+        rr = _vdot(r, r)
+        return (rr > tol2) & (k < maxiter) & jnp.isfinite(rr)
 
     def body(carry):
         x, r, z, p, rz, k = carry
@@ -95,7 +96,8 @@ def bicgstab_solve(A: Callable, b, x0, M_inv, rtol=1e-12, atol=0.0,
 
     def cond(carry):
         x, r, p, v, rho, alpha, omega, k, broke = carry
-        return (_vdot(r, r) > tol2) & (k < maxiter) & (~broke)
+        rr = _vdot(r, r)
+        return (rr > tol2) & (k < maxiter) & (~broke) & jnp.isfinite(rr)
 
     def body(carry):
         x, r, p, v, rho, alpha, omega, k, broke = carry
@@ -128,8 +130,8 @@ def bicgstab_solve(A: Callable, b, x0, M_inv, rtol=1e-12, atol=0.0,
 
 def ir_solve(A_hi: Callable, A_lo: Callable, b, x0, M_inv_lo,
              inner_solve: Callable = bicgstab_solve,
-             rtol=1e-12, atol=0.0, inner_rtol=1e-5, inner_maxiter=300,
-             max_passes=8):
+             rtol=1e-12, atol=0.0, inner_rtol=3e-5, inner_maxiter=300,
+             max_passes=12):
     """Mixed-precision defect correction: f32 Krylov under f64 refinement.
 
     Each pass solves ``A_lo d = r / ||r||`` in the low precision (so the
@@ -162,7 +164,11 @@ def ir_solve(A_hi: Callable, A_lo: Callable, b, x0, M_inv_lo,
         rhs = (r / scale).astype(lo)
         d, k, _ = inner_solve(A_lo, rhs, jnp.zeros_like(rhs), M_inv_lo,
                               rtol=inner_rtol, maxiter=inner_maxiter)
-        x = x + scale * d.astype(b.dtype)
+        # a broken-down f32 pass can return non-finite d: skip the update
+        # (x keeps its last good value); the stagnation guard then exits
+        # with the honest previous residual
+        d_ok = jnp.isfinite(_vdot(d, d))
+        x = jnp.where(d_ok, x + scale * d.astype(b.dtype), x)
         r = b - A_hi(x)
         rn = jnp.sqrt(_vdot(r, r))
         return x, r, rn, rnorm, k_tot + k, passes + 1

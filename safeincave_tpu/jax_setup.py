@@ -13,6 +13,12 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# TPU matmul precision: XLA's DEFAULT lowers f32 contractions to bf16 MXU
+# passes (~8 mantissa bits).  The f32 Krylov path needs true f32 arithmetic
+# (BiCGStab breaks down around the bf16 noise floor), so force full-precision
+# accumulation for all einsum/dot lowering.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent compilation cache: first-compile through the TPU toolchain is
 # slow (tens of seconds per program); cached reloads are near-instant.
 _cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")

@@ -9,9 +9,9 @@ operators) as dense arrays ready for gather/segment-sum kernels.
 """
 from .msh_io import read_msh, write_msh
 from .grid import Grid, GridHandlerGMSH
-from .boxgen import box_mesh, GridBox
+from .boxgen import box_mesh, GridBox, GridBoxRegions
 from .reorder import reordered_grid
 from . import native
 
 __all__ = ["read_msh", "write_msh", "Grid", "GridHandlerGMSH", "box_mesh",
-           "GridBox", "reordered_grid", "native"]
+           "GridBox", "GridBoxRegions", "reordered_grid", "native"]

@@ -163,6 +163,11 @@ class ShardedMomentumKernel:
                                in_specs=(Pe, Pr, Pe, Pe), out_specs=Pr)
 
     # -- MomentumKernel API -------------------------------------------- #
+    def prep(self, CT):
+        """No SoA prep on the sharded path (psum assembly keeps the
+        (E, 6, 6) layout); kept for API compatibility with MomentumKernel."""
+        return CT
+
     def _geom(self, dtype):
         if dtype == jnp.float32:
             return self.grad_N32, self.vol32

@@ -74,12 +74,16 @@ class TestShardedExecution:
         assert eq_sh.n_elems % mesh.devices.size == 0
         u_sh, sv_sh = _run_steps(eq_sh)
 
-        np.testing.assert_allclose(u_sh, u_ref, rtol=1e-9, atol=1e-15)
-        # atol on near-zero stress components: 1e-2 Pa against 10 MPa loads
-        # (= 1e-9 of the load) - the rtol-level Krylov noise floor of the
-        # mixed-precision solve, which rounds differently per device layout
+        # 1e-8 relative is the BASELINE.md field-parity criterion; the two
+        # paths use different preconditioners/assembly orders (2level+cumsum
+        # vs psum'd block-Jacobi), so agreement is rtol-level, not bitwise
+        np.testing.assert_allclose(u_sh, u_ref, rtol=1e-8, atol=1e-13)
+        # atol on near-zero stress components: 0.1 Pa against 10 MPa loads
+        # (= 1e-8 of the load, the same criterion as rtol) - the Krylov
+        # noise floor of the mixed-precision solve, which rounds differently
+        # per device layout / preconditioner
         np.testing.assert_allclose(sv_sh[:n_orig], sv_ref, rtol=1e-8,
-                                   atol=1e-2)
+                                   atol=0.1)
 
     def test_padded_cells_are_inert(self):
         grid, eq = _build(nx=2)
