@@ -138,37 +138,49 @@ def _two_level_apply(blk_apply, coarse_inv, mask, n_agg, G, pad):
     return M_inv
 
 
+def build_preconditioner(kern, C, mask, settings: SolverSettings):
+    """(M_inv_f64, M_inv_f32) for the masked operator.
+
+    Built from the **constant elastic stiffness C** and the (static)
+    Dirichlet mask, so it can be computed eagerly once per wiring rather
+    than re-assembled inside every linear solve: the consistent tangent CT
+    only perturbs C by the per-step creep compliance, and a slightly lagged
+    preconditioner costs a few extra Krylov iterations while saving the
+    ~O(100 ms) per-solve setup (block build + coarse assembly + inverse)
+    entirely.  The dense coarse space needs the unsharded kernel's global
+    geometry; the SPMD path keeps pure block-Jacobi (its psum'd blocks are
+    already global).
+    """
+    M_inv, M_inv32 = _masked_block_jacobi(kern, C, mask)
+    if settings.precond == "2level" and hasattr(kern, "_scat_perm"):
+        G = settings.coarse_agg
+        coarse_inv, n_agg, pad = _coarse_space(kern, C, mask, G)
+        M_inv = _two_level_apply(M_inv, coarse_inv, mask, n_agg, G, pad)
+        M_inv32 = _two_level_apply(M_inv32, coarse_inv,
+                                   mask.astype(jnp.float32), n_agg, G, pad)
+    return M_inv, M_inv32
+
+
 def _make_masked_solver(kern, settings: SolverSettings):
-    """Build solve_lin(CT, b, mask, u_bc, x0, rtol) -> (x, iters, res).
+    """Build solve_lin(CT, b, mask, u_bc, x0, rtol, M_inv, M_inv32)
+    -> (x, iters, res).
 
     Applies Dirichlet conditions by masking + lifting (the matrix-free
     equivalent of PETSc apply_lifting/set_bc, reference
     MomentumEquation.py:908-922) and dispatches to the configured
     mixed-precision or straight-f64 Krylov solve.  ``rtol`` is traced so the
-    nonlinear loop can adapt it per iteration.
+    nonlinear loop can adapt it per iteration; the preconditioner pair comes
+    from :func:`build_preconditioner` (constant, prebuilt).
     """
     solve = settings.solve_fn()
     mixed = settings.precision == "mixed"
 
-    # the dense coarse space needs the unsharded kernel's global geometry;
-    # the SPMD path keeps block-Jacobi (its psum'd diagonal is global)
-    two_level = (settings.precond == "2level"
-                 and hasattr(kern, "_scat_perm"))
-
-    def solve_lin(CT, b, mask, u_bc, x0, rtol):
+    def solve_lin(CT, b, mask, u_bc, x0, rtol, M_inv, M_inv32):
         CT_hi = kern.prep(CT)
 
         def Aop(x):
             return mask * kern.matvec(CT_hi, mask * x) + (1.0 - mask) * x
 
-        M_inv, M_inv32 = _masked_block_jacobi(kern, CT, mask)
-        if two_level:
-            G = settings.coarse_agg
-            coarse_inv, n_agg, pad = _coarse_space(kern, CT, mask, G)
-            M_inv = _two_level_apply(M_inv, coarse_inv, mask, n_agg, G, pad)
-            M_inv32 = _two_level_apply(M_inv32, coarse_inv,
-                                       mask.astype(jnp.float32), n_agg, G,
-                                       pad)
         b_eff = mask * (b - kern.matvec(CT_hi, u_bc)) + (1.0 - mask) * u_bc
         if mixed:
             CT_lo = kern.prep(CT.astype(jnp.float32))
@@ -343,15 +355,18 @@ class LinearMomentum(LinearMomentumBase):
         self._jit_solve = None
         self._jit_step = None
         self._jit_step_key = None
+        self._precond = None
 
     def set_solver(self, solver):
         super().set_solver(solver)
         self._jit_solve = None
         self._jit_step = None
+        self._precond = None
 
     def set_boundary_conditions(self, bc):
         super().set_boundary_conditions(bc)
         self._jit_step = None
+        self._precond = None
 
     def initialize(self):
         self.C = self.mat.C
@@ -387,15 +402,26 @@ class LinearMomentum(LinearMomentumBase):
                           - dt * (1 - self.theta) * (self.mat.B6 + G_sk))
 
     # ------------------------------------------------------------------ #
+    def _get_precond(self):
+        """Constant preconditioner pair, built eagerly from C + the static
+        Dirichlet mask (see build_preconditioner)."""
+        if self._precond is None:
+            if not hasattr(self.bc, "mask"):
+                self.bc.update_dirichlet(0.0)
+            self._precond = build_preconditioner(self.kernel, self.mat.C,
+                                                 self.bc.mask, self.solver)
+        return self._precond
+
     def _get_jit_solve(self):
         """Cached jitted masked Krylov solve (CT, b, mask, u_bc, x0 traced)."""
         if self._jit_solve is None:
             solve_lin = _make_masked_solver(self.kernel, self.solver)
             rtol = self.solver.rtol
+            M_inv, M_inv32 = self._get_precond()
 
             @jax.jit
             def _solve(CT, b, mask, u_bc, x0):
-                return solve_lin(CT, b, mask, u_bc, x0, rtol)
+                return solve_lin(CT, b, mask, u_bc, x0, rtol, M_inv, M_inv32)
 
             self._jit_solve = _solve
         return self._jit_solve
@@ -443,6 +469,7 @@ class LinearMomentum(LinearMomentumBase):
         elems_th = list(mat.elems_th)
         trivial_error = (theta == 1.0) or (len(elems_ne) == 0)
         solve_lin = _make_masked_solver(kern, self.solver)
+        M_inv, M_inv32 = self._get_precond()
         rtol_floor = self.solver.rtol
         w_err = jnp.asarray([1., 1., 1., 2., 2., 2.])
 
@@ -493,7 +520,7 @@ class LinearMomentum(LinearMomentumBase):
                     jnp.einsum("nij,nj->ni", CT, eps_rhs))
                 x0 = mask * u + (1.0 - mask) * u_bc
                 u_new, kry, lin_res = solve_lin(CT, b, mask, u_bc, x0,
-                                                lin_rtol)
+                                                lin_rtol, M_inv, M_inv32)
                 # strain, stress (reference :844-866)
                 eps_new = kern.strain(u_new)
                 sv_new = jnp.einsum("nij,nj->ni", CT, eps_new - eps_rhs)

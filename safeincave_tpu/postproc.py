@@ -1,17 +1,141 @@
-"""Post-processing: standalone readers for the framework's XDMF/HDF5 outputs
+"""Post-processing: standalone readers for XDMF/HDF5 outputs
 plus point-probe and smoothing helpers.
 
 Reference: /root/reference/safeincave/PostProcessingTools.py (meshio-based
 XDMF time-series readers :192-374, duplicate numpy smoother :23-107, point
-lookup :109-189).  Works directly on the h5 layout written by
-:class:`safeincave_tpu.output.SaveFields`; no solver objects needed.
+lookup :109-189).  Two entry levels:
+
+* folder-based helpers working directly on the h5 layout written by
+  :class:`safeincave_tpu.output.SaveFields`;
+* :func:`read_xdmf` - a generic XDMF-XML + HDF5 time-series reader (no
+  meshio/dolfinx needed) that also understands the **reference's dolfinx
+  XDMFFile layout**, so outputs produced by the original SafeInCave stack
+  are readable here, and path-based wrappers with the reference's signatures
+  (read_cell_tensor/read_cell_scalar/read_node_scalar/read_node_vector on an
+  .xdmf path, PostProcessingTools.py:192-374).
 """
 from __future__ import annotations
 
 import os
+import xml.etree.ElementTree as ET
 
 import numpy as np
 import h5py
+
+
+# ---------------------------------------------------------------------------
+# Generic XDMF time-series reader (ours + dolfinx/reference layout)
+# ---------------------------------------------------------------------------
+def _load_dataitem(text: str, base_dir: str, h5_cache: dict) -> np.ndarray:
+    """Resolve 'file.h5:/group/path' HeavyData references."""
+    fname, path = text.strip().split(":", 1)
+    fpath = os.path.join(base_dir, fname)
+    if fpath not in h5_cache:
+        h5_cache[fpath] = h5py.File(fpath, "r")
+    return h5_cache[fpath][path][()]
+
+
+def read_xdmf(xdmf_path: str):
+    """Read any temporal-collection XDMF3 file written by this framework or
+    by dolfinx's XDMFFile (the reference output format).
+
+    Returns ``(points, topology, times, fields)`` where ``fields`` maps
+    attribute name -> {"center": "Node"|"Cell", "values": (n_steps, ...)}.
+    """
+    base_dir = os.path.dirname(os.path.abspath(xdmf_path))
+    # strip the xi: namespace prefix so ElementTree parses xpointer includes
+    with open(xdmf_path) as f:
+        xml_text = f.read()
+    root = ET.fromstring(xml_text)
+    h5_cache: dict = {}
+    try:
+        # mesh: the first Grid containing Topology+Geometry DataItems
+        points = topology = None
+        for grid in root.iter("Grid"):
+            topo = grid.find("Topology")
+            geom = grid.find("Geometry")
+            if topo is not None and geom is not None:
+                t_item = topo.find("DataItem")
+                g_item = geom.find("DataItem")
+                if t_item is not None and g_item is not None:
+                    topology = _load_dataitem(t_item.text, base_dir,
+                                              h5_cache).astype(np.int64)
+                    points = np.asarray(
+                        _load_dataitem(g_item.text, base_dir, h5_cache),
+                        dtype=np.float64)
+                    break
+        if points is None:
+            raise ValueError(f"no mesh Grid found in {xdmf_path}")
+
+        times = []
+        series: dict[str, dict] = {}
+        for coll in root.iter("Grid"):
+            if coll.get("GridType") != "Collection":
+                continue
+            for step_grid in coll.findall("Grid"):
+                t_el = step_grid.find("Time")
+                if t_el is not None:
+                    times.append(float(t_el.get("Value")))
+                for attr in step_grid.findall("Attribute"):
+                    name = attr.get("Name")
+                    center = attr.get("Center", "Node")
+                    item = attr.find("DataItem")
+                    arr = np.asarray(_load_dataitem(item.text, base_dir,
+                                                    h5_cache))
+                    series.setdefault(name, {"center": center,
+                                             "values": []})
+                    series[name]["values"].append(arr)
+        fields = {k: {"center": v["center"],
+                      "values": np.stack(v["values"])}
+                  for k, v in series.items()}
+        return (points, topology, np.asarray(times, dtype=float), fields)
+    finally:
+        for fh in h5_cache.values():
+            fh.close()
+
+
+def _single_field(fields: dict, center: str):
+    for name, rec in fields.items():
+        if rec["center"].lower() == center:
+            return name, rec["values"]
+    raise ValueError(f"no {center}-centered field found")
+
+
+def compute_cell_centroids(topology, points):
+    """Reference PostProcessingTools.compute_cell_centroids."""
+    return points[topology].mean(axis=1)
+
+
+def read_cell_tensor_xdmf(xdmf_field_path: str):
+    """Reference signature (:192-236): (centroids, time_list, tensor
+    (n_steps, n_cells, 3, 3)) from any compatible XDMF file."""
+    points, topo, times, fields = read_xdmf(xdmf_field_path)
+    _, vals = _single_field(fields, "cell")
+    n_cells = topo.shape[0]
+    vals = vals.reshape(vals.shape[0], n_cells, 3, 3)
+    return compute_cell_centroids(topo, points), times, vals
+
+
+def read_cell_scalar_xdmf(xdmf_field_path: str):
+    """Reference signature (:239-283)."""
+    points, topo, times, fields = read_xdmf(xdmf_field_path)
+    _, vals = _single_field(fields, "cell")
+    return (compute_cell_centroids(topo, points), times,
+            vals.reshape(vals.shape[0], topo.shape[0]))
+
+
+def read_node_scalar_xdmf(xdmf_field_path: str):
+    """Reference signature (:286-330)."""
+    points, topo, times, fields = read_xdmf(xdmf_field_path)
+    _, vals = _single_field(fields, "node")
+    return points, times, vals.reshape(vals.shape[0], points.shape[0])
+
+
+def read_node_vector_xdmf(xdmf_field_path: str):
+    """Reference signature (:333-374)."""
+    points, topo, times, fields = read_xdmf(xdmf_field_path)
+    _, vals = _single_field(fields, "node")
+    return points, times, vals.reshape(vals.shape[0], points.shape[0], -1)
 
 
 def read_timeseries(output_folder: str, field_name: str):

@@ -34,7 +34,11 @@ class TimeControllerBase(ABC):
         self.step_counter = 0
 
     def keep_looping(self) -> bool:
-        return self.t < self.t_final
+        # relative tolerance guards float accumulation: without it, rounding
+        # can leave t a few ulp below t_final and run one extra step
+        # (reference TimeHandler.py:100-110 uses a time_tol the same way)
+        tol = 1e-12 * max(1.0, abs(self.t_final))
+        return self.t < self.t_final - tol
 
     @abstractmethod
     def advance_time(self) -> None:
@@ -77,6 +81,12 @@ class TimeControllerParabolic(TimeControllerBase):
         f_max = np.max(y)
         k = (t_eq.max() - t_eq.min()) / (f_max - f_min)
         return k * (y - f_min) + t_eq.min()
+
+    def keep_looping(self) -> bool:
+        # index-based guard: the schedule has exactly n_time_steps points,
+        # so rounding in the rescaled time_list can never over-run it
+        return (self.step_counter < len(self.time_list) - 1
+                and super().keep_looping())
 
     def advance_time(self) -> None:
         self.step_counter += 1

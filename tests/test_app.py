@@ -1,0 +1,144 @@
+"""App-layer (L9) tests: builder, terminal editor CLI, runners.
+
+Covers the reference GUI suite's functional contract (gsapp.py /
+MyBoundaryCond.py / MyConstitutiveModel.py / simulator_runner.py /
+script_runner.py) through the dependency-free replacements: a case is
+created/edited/validated without hand-writing JSON, run in a subprocess
+with streamed output, and user scripts execute with captured stdout.
+"""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import safeincave_tpu as sc
+from safeincave_tpu.mesh.boxgen import box_mesh
+from safeincave_tpu.mesh.msh_io import write_msh
+from safeincave_tpu.app import InputFileBuilder, SimulatorRunner, run_script
+from safeincave_tpu.app import editor
+
+
+@pytest.fixture
+def grid_dir(tmp_path):
+    d = tmp_path / "grid"
+    d.mkdir()
+    write_msh(str(d / "geom.msh"), *box_mesh(nx=2, ny=2, nz=2))
+    return str(d)
+
+
+def _build_case(grid_dir, out_dir):
+    hourv = 3600.0
+    b = (InputFileBuilder()
+         .set_grid(grid_dir)
+         .set_output(out_dir)
+         .set_solver(type="KrylovSolver", method="cg",
+                     relative_tolerance=1e-12)
+         .set_body_force(gravity=0.0, density=2000.0, direction=2)
+         .set_time([0.0, hourv, 2 * hourv], theta=0.5)
+         .set_equilibrium(active=False)
+         .set_operation(active=True, dt_max=hourv)
+         .set_elastic("spring", 102e9, 0.3)
+         .add_nonelastic("creep", "DislocationCreep",
+                         {"A": 1.9e-20, "Q": 51600, "n": 3.0, "T": 298.0})
+         .add_dirichlet("WEST", 0, [0.0, 0.0, 0.0])
+         .add_dirichlet("SOUTH", 1, [0.0, 0.0, 0.0])
+         .add_dirichlet("BOTTOM", 2, [0.0, 0.0, 0.0])
+         .add_neumann("TOP", 2, [4e6, 8e6, 8e6]))
+    return b
+
+
+class TestBuilder:
+    def test_grid_discovery(self, grid_dir):
+        b = InputFileBuilder().set_grid(grid_dir)
+        assert set(b.data["grid"]["boundaries"]) == {
+            "WEST", "EAST", "SOUTH", "NORTH", "BOTTOM", "TOP"}
+        assert b.data["grid"]["regions"] == {"BODY": 1}
+
+    def test_validation_catches_errors(self, grid_dir):
+        b = InputFileBuilder()
+        errs = b.validate()
+        assert any("grid.path" in e for e in errs)
+        assert any("elastic" in e for e in errs)
+        b = _build_case(grid_dir, "out")
+        assert b.validate() == []
+        # neumann schedule length mismatch
+        b.add_neumann("EAST", 2, [1e6])
+        assert any("EAST" in e for e in b.validate())
+        with pytest.raises(ValueError):
+            b.add_nonelastic("bad", "DislocationCreep", {"A": 1.0})
+        with pytest.raises(ValueError):
+            b.add_nonelastic("bad", "NoSuchModel", {})
+
+    def test_roundtrip_and_run(self, grid_dir, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        path = str(tmp_path / "case.json")
+        _build_case(grid_dir, str(tmp_path / "out")).save(path)
+        b2 = InputFileBuilder.load(path)
+        assert b2.validate() == []
+        b2.run()   # in-process Simulator_GUI
+        assert os.path.isfile(tmp_path / "out" / "operation" / "u" / "u.xdmf")
+
+
+class TestEditorCLI:
+    def test_subcommands(self, grid_dir, tmp_path, capsys):
+        path = str(tmp_path / "case.json")
+        _build_case(grid_dir, str(tmp_path / "out")).save(path)
+
+        assert editor.main(["show", path]) in (0, None)
+        out = capsys.readouterr().out
+        assert "boundary conditions" in out and "valid" in out
+
+        editor.main(["set", path, "solver.method", "\"bicgstab\""])
+        assert json.load(open(path))["solver_settings"]["method"] == \
+            "bicgstab"
+
+        editor.main(["add-bc", path, "EAST", "neumann", "--direction", "2",
+                     "--values", "1e6", "2e6", "2e6"])
+        blk = json.load(open(path))["boundary_conditions"]["EAST"]
+        assert blk["type"] == "neumann" and len(blk["values"]) == 3
+
+        editor.main(["add-element", path, "kelvin", "KelvinVoigt",
+                     "--params", "eta=105e11", "E=10e9", "nu=0.32"])
+        ne = json.load(open(path))["constitutive_model"]["nonelastic"]
+        assert ne["kelvin"]["type"] == "KelvinVoigt"
+
+        assert editor.main(["validate", path]) == 0
+
+    def test_import_csv(self, grid_dir, tmp_path):
+        path = str(tmp_path / "case.json")
+        _build_case(grid_dir, str(tmp_path / "out")).save(path)
+        csv_path = tmp_path / "p.csv"
+        csv_path.write_text("tijd;druk_mpa\n0;10,0\n1;12,5\n2;11,0\n")
+        editor.main(["import-csv", path, "TOP", str(csv_path)])
+        d = json.load(open(path))
+        assert d["boundary_conditions"]["TOP"]["values"] == \
+            [10.0e6, 12.5e6, 11.0e6]
+        assert d["time_settings"]["time_list"] == [0.0, 3600.0, 7200.0]
+
+
+class TestRunners:
+    @pytest.mark.slow
+    def test_subprocess_runner_streams_output(self, grid_dir, tmp_path,
+                                              monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        path = str(tmp_path / "case.json")
+        _build_case(grid_dir, str(tmp_path / "out")).save(path)
+        lines = []
+        runner = SimulatorRunner(output_callback=lines.append)
+        runner.setJsonFile(path)
+        runner.run()
+        rc = runner.wait(timeout=500)
+        assert rc == 0, "".join(lines)[-2000:]
+        assert os.path.isfile(tmp_path / "out" / "operation" / "u" / "u.xdmf")
+        assert any("Time step" in ln or "step" in ln.lower()
+                   for ln in lines)
+
+    def test_script_runner_captures_output(self, tmp_path):
+        script = tmp_path / "user.py"
+        script.write_text("x = 6 * 7\nprint('answer', x)\n")
+        ok, out, ns = run_script(str(script))
+        assert ok and "answer 42" in out and ns["x"] == 42
+        ok, out, _ = run_script("raise RuntimeError('boom')")
+        assert not ok and "boom" in out
