@@ -51,15 +51,24 @@ class MomentumKernel:
         self.conn = jnp.asarray(grid.conn, dtype=jnp.int32)       # (E, 4)
         self.grad_N = jnp.asarray(grid.grad_N)                    # (E, 4, 3)
         self.vol = jnp.asarray(grid.volumes)                      # (E,)
-        # SoA geometry: gN[a][i] is a flat (E,) vector (see module docstring)
-        gN = np.asarray(grid.grad_N)
-        self._gN = [[jnp.asarray(gN[:, a, i]) for i in range(3)]
-                    for a in range(4)]
-        self._gN32 = [[g.astype(jnp.float32) for g in row]
-                      for row in self._gN]
+        # SoA geometry with the element axis last (on the vector lanes)
+        self._gN_s = jnp.asarray(np.moveaxis(np.asarray(grid.grad_N),
+                                             0, -1))              # (4, 3, E)
+        self._gN_s32 = self._gN_s.astype(jnp.float32)
         self.vol32 = self.vol.astype(jnp.float32)
         self.n_nodes = grid.n_nodes
         self.n_elems = grid.n_elems
+        # Voigt <-> tensor mixing tensors for stacked (…, E) contractions
+        t2v = np.zeros((6, 3, 3))
+        v2t = np.zeros((3, 3, 6))
+        for p, (i, j) in enumerate(_V2T):
+            if i == j:
+                t2v[p, i, j] = 1.0
+            else:
+                t2v[p, i, j] = t2v[p, j, i] = 0.5  # symmetric average
+            v2t[i, j, p] = v2t[j, i, p] = 1.0
+        self._t2v = jnp.asarray(t2v)
+        self._v2t = jnp.asarray(v2t)
 
         # static cumsum-scatter plan: (e, a) contributions sorted by
         # destination node; per-node sums are boundary differences of the
@@ -77,53 +86,53 @@ class MomentumKernel:
 
     def _geom(self, dtype):
         if dtype == jnp.float32:
-            return self._gN32, self.vol32
-        return self._gN, self.vol
+            return self._gN_s32, self.vol32
+        return self._gN_s, self.vol
 
-    # -- SoA building blocks ------------------------------------------- #
+    # -- stacked-SoA building blocks (all shapes (..., E)) --------------- #
     def _gather_u(self, u):
-        """u at element nodes as nested lists ue[a][i] of (E,) vectors."""
-        ue = u[self.conn]                                         # (E, 4, 3)
-        return [[ue[:, a, i] for i in range(3)] for a in range(4)]
+        """u at element nodes, stacked (4, 3, E)."""
+        return jnp.transpose(u[self.conn], (1, 2, 0))
 
-    def _strain_list(self, ue, gN):
-        """Voigt strain components as a list of 6 (E,) vectors."""
-        def grad(i, j):
-            return sum(ue[a][i] * gN[a][j] for a in range(4))
-        return [grad(i, j) if i == j else 0.5 * (grad(i, j) + grad(j, i))
-                for (i, j) in _V2T]
+    def _strain_stacked(self, ue_s, gN):
+        """Voigt strain (6, E) from stacked element displacements."""
+        grad = (ue_s[:, :, None, :] * gN[:, None, :, :]).sum(0)   # (3,3,E)
+        eps = 0.5 * (grad + jnp.swapaxes(grad, 0, 1))
+        t2v = self._t2v.astype(ue_s.dtype)
+        return (t2v[:, :, :, None] * eps[None]).sum((1, 2))       # (6,E)
 
-    def _forces_list(self, sig, gN, vol):
-        """fe[a][i] (E,) from a symmetric sig[i][j] table of (E,) vectors."""
-        return [[vol * sum(sig[i][j] * gN[a][j] for j in range(3))
-                 for i in range(3)] for a in range(4)]
+    def _forces_stacked(self, sv_s, gN, vol):
+        """Element nodal forces (4, 3, E) from Voigt stress (6, E)."""
+        v2t = self._v2t.astype(sv_s.dtype)
+        sig = (v2t[:, :, :, None] * sv_s[None, None]).sum(2)      # (3,3,E)
+        return (sig[None] * gN[:, None, :, :]).sum(2) * vol       # (4,3,E)
 
-    def _scatter(self, fe):
-        """Assemble nodal forces from fe[a][i] lists via the cumsum plan."""
-        # (4E, 3) in a-major order to match the static permutation
-        flat = jnp.stack([jnp.stack([fe[a][i] for i in range(3)], axis=-1)
-                          for a in range(4)]).reshape(-1, 3)
+    def _scatter(self, fe_s):
+        """Assemble nodal forces from stacked (4, 3, E) contributions.
+
+        Cumsum scatter: one gather into destination-sorted order + a prefix
+        sum + boundary differences (see module docstring)."""
+        flat = jnp.transpose(fe_s, (0, 2, 1)).reshape(-1, 3)      # a-major
         fs = flat[self._scat_perm]
         cs = jnp.cumsum(fs, axis=0)
         cs = jnp.concatenate([jnp.zeros((1, 3), dtype=fs.dtype), cs], axis=0)
         return cs[self._scat_ends] - cs[self._scat_starts]
 
-    @staticmethod
-    def _sig_table(sv):
-        """Symmetric 3x3 table of (E,) vectors from 6 Voigt components."""
-        sig = [[None] * 3 for _ in range(3)]
-        for k, (i, j) in enumerate(_V2T):
-            sig[i][j] = sv[k]
-            sig[j][i] = sv[k]
-        return sig
-
     # ------------------------------------------------------------------ #
     def prep(self, CT: jnp.ndarray):
-        """Transpose CT (E,6,6) to a 6x6 nested list of contiguous (E,)
-        vectors, once per linear solve (Krylov iterations then run pure
-        full-lane VPU code)."""
-        CT_t = jnp.transpose(CT, (1, 2, 0))                       # (6, 6, E)
-        return [[CT_t[i, j] for j in range(6)] for i in range(6)]
+        """Transpose CT (E,6,6) to contiguous (6,6,E), once per linear solve
+        (Krylov iterations then run pure full-lane VPU code).  Idempotent."""
+        if CT.shape == (6, 6, self.n_elems):
+            return CT
+        return jnp.transpose(CT, (1, 2, 0))
+
+    @staticmethod
+    def apply66(M_soa, v):
+        """(E,6) result of the batched 6x6 apply M @ v with M in (6,6,E)
+        stacked layout and v in (E,6) — the full-lane replacement for
+        einsum('nij,nj->ni', M, v), which XLA would lower to E tiny
+        matmuls (software-emulated in f64)."""
+        return (M_soa * v.T[None]).sum(1).T
 
     def strain(self, u: jnp.ndarray) -> jnp.ndarray:
         """Total strain eps(u) projected to DG0, Voigt (E, 6).
@@ -133,29 +142,25 @@ class MomentumKernel:
         (MomentumEquation.py:326-341).
         """
         gN, _ = self._geom(u.dtype)
-        ev = self._strain_list(self._gather_u(u), gN)
-        return jnp.stack(ev, axis=-1)
+        return self._strain_stacked(self._gather_u(u), gN).T
 
     def internal_force(self, sigma_v: jnp.ndarray) -> jnp.ndarray:
         """Nodal forces f_ai = int sigma : eps(v_ai) = V sigma_ij dNa/dx_j."""
         gN, vol = self._geom(sigma_v.dtype)
-        sv = [sigma_v[:, k] for k in range(6)]
-        fe = self._forces_list(self._sig_table(sv), gN, vol)
-        return self._scatter(fe)
+        return self._scatter(self._forces_stacked(sigma_v.T, gN, vol))
 
     def matvec(self, CT_soa, u: jnp.ndarray) -> jnp.ndarray:
         """Stiffness action A(CT) @ u, no boundary conditions.
 
-        ``CT_soa`` must come from :meth:`prep`; raw (E, 6, 6) arrays are
-        accepted (and transposed on the fly) for API compatibility.
+        ``CT_soa`` must come from :meth:`prep` ((6,6,E)); raw (E,6,6) arrays
+        are accepted (and transposed on the fly) for API compatibility.
         """
-        if not isinstance(CT_soa, list):
+        if CT_soa.shape != (6, 6, self.n_elems):
             CT_soa = self.prep(CT_soa)
         gN, vol = self._geom(u.dtype)
-        ev = self._strain_list(self._gather_u(u), gN)
-        sv = [sum(CT_soa[i][j] * ev[j] for j in range(6)) for i in range(6)]
-        fe = self._forces_list(self._sig_table(sv), gN, vol)
-        return self._scatter(fe)
+        ev = self._strain_stacked(self._gather_u(u), gN)          # (6,E)
+        sv = (CT_soa * ev[None]).sum(1)                           # (6,E)
+        return self._scatter(self._forces_stacked(sv, gN, vol))
 
     def diagonal(self, CT: jnp.ndarray) -> jnp.ndarray:
         """diag(A) as an (n_nodes, 3) array (Jacobi preconditioner)."""

@@ -489,7 +489,7 @@ class LinearMomentum(LinearMomentumBase):
                 # consistent tangents + CT (reference MomentumEquation.py:799-820)
                 new_states, G, B6 = mat.f_tangent_all(states, sv_k, Temp, dt,
                                                       theta)
-                CT = mat.f_CT(G, dt, theta)
+                CT = kern.prep(mat.f_CT(G, dt, theta))
                 # eps_rhs (reference :868-890)
                 eps_ne_k = jnp.zeros_like(eps_th)
                 states2 = []
@@ -497,7 +497,7 @@ class LinearMomentum(LinearMomentumBase):
                     st = e.f_eps_k(st, dt * theta, dt * (1 - theta))
                     eps_ne_k = eps_ne_k + st["eps_k"]
                     states2.append(st)
-                G_sk = jnp.einsum("nij,nj->ni", G, sv_k)
+                G_sk = kern.apply66(kern.prep(G), sv_k)
                 eps_rhs = eps_ne_k + eps_th - dt * (1 - theta) * (B6 + G_sk)
                 # assemble + masked Krylov solve (reference :1008-1025).
                 # Adaptive inner tolerance (Eisenstat-Walker flavor): while
@@ -516,14 +516,13 @@ class LinearMomentum(LinearMomentumBase):
                     lin_rtol = jnp.where(
                         tight, rtol_floor,
                         jnp.clip(0.05 * err_prev, rtol_floor, 1e-4))
-                b = b_ext + kern.internal_force(
-                    jnp.einsum("nij,nj->ni", CT, eps_rhs))
+                b = b_ext + kern.internal_force(kern.apply66(CT, eps_rhs))
                 x0 = mask * u + (1.0 - mask) * u_bc
                 u_new, kry, lin_res = solve_lin(CT, b, mask, u_bc, x0,
                                                 lin_rtol, M_inv, M_inv32)
                 # strain, stress (reference :844-866)
                 eps_new = kern.strain(u_new)
-                sv_new = jnp.einsum("nij,nj->ni", CT, eps_new - eps_rhs)
+                sv_new = kern.apply66(CT, eps_new - eps_rhs)
                 # ISV increments + rates (reference Simulators.py:421-425)
                 states3 = []
                 for e, st in zip(elems_ne, states2):

@@ -73,6 +73,41 @@ def inv6x6(M: jnp.ndarray, pivot_tol: float = 1e-30):
     return aug[..., :, n:] / norm[..., None, None], ok
 
 
+def inv6x6_fast(M: jnp.ndarray, pivot_tol: float = 1e-30):
+    """Batched 6x6 inverse in stacked (6, 6, E) layout, unpivoted.
+
+    The hot-path variant of :func:`inv6x6` for the consistent-tangent
+    compliance ``C_inv + dt(1-theta) G``: after per-element normalization
+    these matrices are O(1), symmetric-positive-definite-ish with positive
+    diagonals, so diagonal (unpivoted) Gauss-Jordan is stable - and the
+    elimination runs as ~40 full-lane VPU ops on (6, 12, E) arrays instead
+    of per-element micro-ops + take_along_axis row-swap gathers.  Any
+    element whose running pivot degenerates is flagged ``ok=False`` and the
+    caller applies the reference's elastic fallback
+    (MaterialProps.py:293-309), which also covers would-need-pivoting cases.
+
+    Parameters / returns match :func:`inv6x6` ((E, 6, 6) in/out).
+    """
+    n = 6
+    Mt = jnp.transpose(M, (1, 2, 0))                      # (6, 6, E)
+    raw = jnp.max(jnp.abs(Mt), axis=(0, 1))               # (E,)
+    ok = jnp.isfinite(raw) & (raw > 0)
+    norm = jnp.where(raw > 0, raw, 1.0)
+    Mt = Mt / norm
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype)[:, :, None],
+                           (n, n, Mt.shape[-1]))
+    aug = jnp.concatenate([Mt, eye], axis=1)              # (6, 12, E)
+    for k in range(n):
+        piv = aug[k, k]
+        ok = ok & (jnp.abs(piv) > pivot_tol) & jnp.isfinite(piv)
+        row_k = aug[k] / jnp.where(jnp.abs(piv) > 0, piv, 1.0)  # (12, E)
+        factors = aug[:, k]                               # (6, E)
+        aug = aug - factors[:, None, :] * row_k[None, :, :]
+        aug = aug.at[k].set(row_k)
+    inv = jnp.transpose(aug[:, n:, :], (2, 0, 1)) / norm[:, None, None]
+    return inv, ok
+
+
 def solve6x6(M: jnp.ndarray, b: jnp.ndarray):
     """Solve batched 6x6 systems via :func:`inv6x6` (convenience)."""
     inv, ok = inv6x6(M)

@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..linalg import inv6x6
+from ..linalg import inv6x6_fast
 from ..utils import VOIGT_WEIGHT, voigt_to_tensor
 from .base import NonElasticElement, _as_voigt
 from .elastic import isotropic_C
@@ -110,7 +110,7 @@ class Viscoelastic(NonElasticElement):
         phi2 = dt * (1 - theta)
         eye = jnp.eye(6, dtype=jnp.float64)
         mat = self.params["eta"][:, None, None] * eye + phi2 * self.C1
-        E_op, _ = inv6x6(mat)
+        E_op, _ = inv6x6_fast(mat)
         new = dict(state)
         new["G"] = E_op
         new["B"] = jnp.zeros_like(state["B"])

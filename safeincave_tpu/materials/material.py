@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..linalg import inv6x6
+from ..linalg import inv6x6, inv6x6_fast
 from .base import _as_voigt
 
 
@@ -87,7 +87,7 @@ class Material:
     def f_CT(self, G, dt, theta):
         """CT = (C_inv + dt(1-theta) G)^-1 with elastic fallback (reference :273-309)."""
         mat = self.C_inv + dt * (1 - theta) * G
-        CT, ok = inv6x6(mat)
+        CT, ok = inv6x6_fast(mat)
         return jnp.where(ok[:, None, None], CT, self._elastic_CT())
 
     # -- reference-compatible mutating API -------------------------------- #

@@ -1,0 +1,287 @@
+"""Owned-node domain decomposition with O(interface) halo exchange.
+
+Scaling v2 of the SPMD layer (see parallel/sharding.py for v1, which
+replicates nodal vectors and psums full (n_nodes, 3) arrays every matvec).
+Here the mesh is RCB-partitioned into spatially compact parts, nodes are
+owned by the first part that touches them, and the distributed stiffness
+action communicates **only part-boundary rows**:
+
+    forward:  each device all_gathers the boundary-owned rows the others
+              need (send volume = max_send per device);
+    element kernel: pure local gather -> dense -> local segment scatter;
+    reverse:  halo partial sums travel back (volume = max_halo per device)
+              and are segment-added into their owners.
+
+Per-matvec communicated volume is O(D * max(boundary)) = O(interface),
+the same asymptotic as the reference's PETSc ghost updates
+(MomentumEquation.py:915-922, ghost layers Grid.py:282-283), instead of the
+v1 psum's O(n_nodes * D).  Krylov vectors live owner-sharded (one
+(S, 3) block per device); dot products psum local partials, so no device
+touches global nodal arrays inside the solve.
+
+All exchange index tables are static numpy built once per (mesh, nparts) in
+:class:`HaloPlan`; the device code is a single ``shard_map`` program using
+``lax.all_gather`` over the mesh axis (rides ICI).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..mesh.native import rcb_partition
+
+
+class HaloPlan:
+    """Static partition + exchange metadata for one (grid, nparts).
+
+    Attributes (all numpy; D = nparts):
+      elem_part (E,)        part of each element (RCB over centroids)
+      owner (N,)            owning part of each node (first toucher in
+                            part-major element order)
+      node_perm (N,)        global node id -> padded slot d*S + local
+      S                     owned-block size (max owned count, padded)
+      E_loc                 per-device element count (padded)
+      conn_local (D,E_loc,4)   element nodes as LOCAL ids (owned block
+                               [0,S) then halo block [S, S+H))
+      elem_pad (D,E_loc)    1.0 for real elements, 0.0 for padding
+      send_idx (D,B)        local owned ids each device ships (pad: 0)
+      halo_src (D,H)        flat index into the (D*B) gathered send rows
+                            for each halo slot (pad: 0)
+      halo_dst_count        reverse-exchange targets:
+      rev_target (D,H)      for device d, the gathered halo slot (D*H flat)
+                            -> local owned id it accumulates into (built
+                            per OWNER device; pad -> S, a dump row)
+    """
+
+    def __init__(self, grid, nparts: int):
+        conn = np.asarray(grid.conn)
+        E, N = conn.shape[0], grid.n_nodes
+        D = nparts
+        parts, order = rcb_partition(grid.centroids, nparts)
+        # elements grouped by part, padded to equal count
+        elem_ids = [np.asarray(order)[parts[order] == d] for d in range(D)]
+        self.E_loc = max(len(e) for e in elem_ids)
+
+        # node ownership: first part (in part order) touching the node
+        owner = np.full(N, -1, dtype=np.int64)
+        for d in range(D):
+            nodes_d = np.unique(conn[elem_ids[d]])
+            fresh = nodes_d[owner[nodes_d] < 0]
+            owner[fresh] = d
+        assert (owner >= 0).all()
+        self.owner = owner
+
+        owned = [np.where(owner == d)[0] for d in range(D)]
+        self.S = max(len(o) for o in owned)
+        S = self.S
+        # global -> (device, local) slot
+        node_perm = np.zeros(N, dtype=np.int64)
+        for d in range(D):
+            node_perm[owned[d]] = d * S + np.arange(len(owned[d]))
+        self.node_perm = node_perm
+        self.n_nodes = N
+        self.D = D
+        self.elem_part = parts
+
+        # halo sets: nodes referenced locally but owned elsewhere
+        halos = []
+        for d in range(D):
+            nodes_d = np.unique(conn[elem_ids[d]])
+            halos.append(nodes_d[owner[nodes_d] != d])
+        self.H = max((len(h) for h in halos), default=0)
+        H = max(self.H, 1)
+        self.H = H
+
+        # send sets: owned nodes that appear in someone else's halo
+        send_sets = [[] for _ in range(D)]
+        # (owner_dev, position in owner's send list) per (gid)
+        send_pos = {}
+        for d in range(D):
+            for gid in halos[d]:
+                o = owner[gid]
+                if gid not in send_pos:
+                    send_pos[gid] = (o, len(send_sets[o]))
+                    send_sets[o].append(gid)
+        self.B = max((len(s) for s in send_sets), default=0)
+        B = max(self.B, 1)
+        self.B = B
+
+        send_idx = np.zeros((D, B), dtype=np.int64)
+        for d in range(D):
+            for i, gid in enumerate(send_sets[d]):
+                send_idx[d, i] = node_perm[gid] - d * S   # local owned id
+        self.send_idx = send_idx
+
+        # forward halo: local halo slot h of device d reads gathered row
+        # src_dev * B + src_pos
+        halo_src = np.zeros((D, H), dtype=np.int64)
+        halo_local_id = []   # per device: gid -> local id (S + h)
+        for d in range(D):
+            table = {}
+            for h, gid in enumerate(halos[d]):
+                o, pos = send_pos[gid]
+                halo_src[d, h] = o * B + pos
+                table[gid] = S + h
+            halo_local_id.append(table)
+        self.halo_src = halo_src
+
+        # local connectivity in local ids
+        conn_local = np.zeros((D, self.E_loc, 4), dtype=np.int32)
+        elem_pad = np.zeros((D, self.E_loc), dtype=np.float64)
+        self.elem_gids = np.zeros((D, self.E_loc), dtype=np.int64)
+        for d in range(D):
+            tbl = halo_local_id[d]
+            for k, e in enumerate(elem_ids[d]):
+                for a in range(4):
+                    gid = conn[e, a]
+                    conn_local[d, k, a] = (node_perm[gid] - d * S
+                                           if owner[gid] == d else tbl[gid])
+                elem_pad[d, k] = 1.0
+                self.elem_gids[d, k] = e
+        self.conn_local = conn_local
+        self.elem_pad = elem_pad
+
+        # reverse exchange: device o receives the all-gathered halo partial
+        # sums (D*H rows); row d*H + h belongs to device d's halo node
+        # halos[d][h]; if owner == o it accumulates into its local id.
+        rev_target = np.full((D, D * H), S, dtype=np.int64)   # S = dump row
+        for d in range(D):
+            for h, gid in enumerate(halos[d]):
+                o = owner[gid]
+                rev_target[o, d * H + h] = node_perm[gid] - o * S
+        self.rev_target = rev_target
+
+        # padded per-device geometry
+        self.grad_N_local = np.zeros((D, self.E_loc, 4, 3))
+        self.vol_local = np.zeros((D, self.E_loc))
+        for d in range(D):
+            n_e = len(elem_ids[d])
+            self.grad_N_local[d, :n_e] = grid.grad_N[elem_ids[d]]
+            self.vol_local[d, :n_e] = grid.volumes[elem_ids[d]]
+
+    # -- diagnostics ------------------------------------------------------ #
+    def comm_volume_per_matvec(self) -> int:
+        """Rows communicated per device per matvec (fwd + rev)."""
+        return self.B + self.H
+
+    def interface_fraction(self) -> float:
+        """Communicated rows / total owned rows (smallness = scalability)."""
+        return self.D * (self.B + self.H) / float(self.n_nodes)
+
+
+class HaloMomentumSolver:
+    """Distributed masked stiffness action + Krylov vector ops over a mesh.
+
+    Exposes ``matvec_padded`` operating on owner-sharded (D*S, 3) vectors
+    and helpers to move between the global (n_nodes, 3) layout and the
+    padded layout.  Used by the sharding tests as the scalable path; the
+    element tangents CT are sharded per device in local element order.
+    """
+
+    def __init__(self, grid, mesh: Mesh, plan: HaloPlan | None = None,
+                 axis: str = "e"):
+        D = mesh.devices.size
+        self.plan = plan or HaloPlan(grid, D)
+        plan = self.plan
+        assert plan.D == D
+        self.mesh = mesh
+        self.axis = axis
+        self.S = plan.S
+        L = plan.S + plan.H + 1          # + dump row for reverse pads
+        self.L = L
+
+        spec_d = NamedSharding(mesh, P(axis))          # leading device axis
+        put = lambda a, dt=None: jax.device_put(       # noqa: E731
+            jnp.asarray(a, dtype=dt), spec_d)
+        self.conn_local = put(plan.conn_local, jnp.int32)
+        self.grad_N_local = put(plan.grad_N_local)
+        self.vol_local = put(plan.vol_local * plan.elem_pad)
+        self.send_idx = put(plan.send_idx, jnp.int32)
+        self.halo_src = put(plan.halo_src, jnp.int32)
+        self.rev_target = put(plan.rev_target, jnp.int32)
+        self.node_perm = jnp.asarray(plan.node_perm, dtype=jnp.int32)
+
+        ax = axis
+        S, H, B = plan.S, plan.H, plan.B
+
+        def _matvec_local(CT, u_own, mask_own, conn, gradN, vol,
+                          send_idx, halo_src, rev_target):
+            # drop the leading device axis shard_map leaves on the blocks
+            CT, u_own, mask_own = CT[0], u_own[0], mask_own[0]
+            conn, gradN, vol = conn[0], gradN[0], vol[0]
+            send_idx, halo_src, rev_target = (send_idx[0], halo_src[0],
+                                              rev_target[0])
+            u_own = u_own * mask_own
+            # forward halo exchange: boundary-owned rows only
+            send = u_own[send_idx]                            # (B, 3)
+            allg = jax.lax.all_gather(send, ax)               # (D, B, 3)
+            halo = allg.reshape(-1, 3)[halo_src]              # (H, 3)
+            u_loc = jnp.concatenate(
+                [u_own, halo, jnp.zeros((1, 3), u_own.dtype)], axis=0)
+            # local element kernel
+            ue = u_loc[conn]                                  # (E_loc, 4, 3)
+            grad_u = jnp.einsum("eai,eaj->eij", ue, gradN)
+            eps = 0.5 * (grad_u + jnp.swapaxes(grad_u, -1, -2))
+            ev = jnp.stack([eps[:, 0, 0], eps[:, 1, 1], eps[:, 2, 2],
+                            eps[:, 0, 1], eps[:, 0, 2], eps[:, 1, 2]],
+                           axis=-1)
+            sv = jnp.einsum("eij,ej->ei", CT, ev)
+            sig = jnp.zeros((ev.shape[0], 3, 3), dtype=ev.dtype)
+            idx = [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)]
+            for k, (i, j) in enumerate(idx):
+                sig = sig.at[:, i, j].set(sv[:, k])
+                if i != j:
+                    sig = sig.at[:, j, i].set(sv[:, k])
+            fe = jnp.einsum("eij,eaj,e->eai", sig, gradN, vol)
+            f_loc = jax.ops.segment_sum(fe.reshape(-1, 3),
+                                        conn.reshape(-1),
+                                        num_segments=S + H + 1)
+            # reverse halo exchange: ship halo partials back to owners
+            rev = jax.lax.all_gather(f_loc[S:S + H], ax)      # (D, H, 3)
+            back = jax.ops.segment_sum(rev.reshape(-1, 3), rev_target,
+                                       num_segments=S + 1)[:S]
+            f_own = (f_loc[:S] + back) * mask_own
+            return f_own[None]
+
+        self._matvec = shard_map(
+            _matvec_local, mesh=mesh,
+            in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax),
+                      P(ax), P(ax)),
+            out_specs=P(ax))
+
+    # -- layout conversion (outside the Krylov loop) ----------------------- #
+    def to_padded(self, v):
+        """(n_nodes, 3) replicated -> (D*S, 3) owner-sharded layout."""
+        out = jnp.zeros((self.plan.D * self.S, 3), dtype=v.dtype)
+        return out.at[self.node_perm].set(v)
+
+    def from_padded(self, vp):
+        """(D*S, 3) -> (n_nodes, 3)."""
+        return vp[self.node_perm]
+
+    def matvec_padded(self, CT_local, u_pad, mask_pad):
+        """Distributed A @ u on owner-sharded padded vectors.
+
+        CT_local: (D, E_loc, 6, 6) per-device tangents (local elem order);
+        u_pad / mask_pad: (D*S, 3) padded layout.
+        """
+        D, S = self.plan.D, self.S
+        out = self._matvec(CT_local.reshape(D, -1, 6, 6),
+                           u_pad.reshape(D, S, 3),
+                           mask_pad.reshape(D, S, 3),
+                           self.conn_local, self.grad_N_local,
+                           self.vol_local, self.send_idx, self.halo_src,
+                           self.rev_target)
+        return out.reshape(D * S, 3)
+
+    def ct_to_local(self, CT):
+        """Global (E, 6, 6) tangents -> per-device local element order."""
+        gids = self.plan.elem_gids.reshape(-1)
+        pad = jnp.asarray(self.plan.elem_pad.reshape(-1))
+        CT_l = CT[jnp.asarray(gids)] * pad[:, None, None]
+        D = self.plan.D
+        return jax.device_put(CT_l.reshape(D, -1, 6, 6),
+                              NamedSharding(self.mesh, P(self.axis)))

@@ -168,6 +168,12 @@ class ShardedMomentumKernel:
         (E, 6, 6) layout); kept for API compatibility with MomentumKernel."""
         return CT
 
+    @staticmethod
+    def apply66(M, v):
+        """einsum fallback for the (E,6,6) layout (MomentumKernel.apply66
+        counterpart)."""
+        return jnp.einsum("nij,nj->ni", M, v)
+
     def _geom(self, dtype):
         if dtype == jnp.float32:
             return self.grad_N32, self.vol32
