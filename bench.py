@@ -123,7 +123,7 @@ def bench_matvec(eq):
     E, N = kern.n_elems, kern.n_nodes
 
     for dtype, fbytes in ((jnp.float32, 4), (jnp.float64, 8)):
-        CT = eq.mat.C.astype(dtype)
+        CT = kern.prep(eq.mat.C.astype(dtype))   # once, as the Krylov loop does
         u = jnp.asarray(np.random.default_rng(0).normal(size=(N, 3)),
                         dtype=dtype)
 

@@ -64,6 +64,7 @@ class ScreenPrinter:
                       f"{self.grid.n_regions} regions")
             devs = jax.devices()
             self._log(f"  devices: {len(devs)} x {devs[0].platform}")
+            self._emit_partition_table(devs)
         if self.solver is not None:
             method = getattr(self.solver, "method", str(self.solver))
             rtol = getattr(self.solver, "rtol", "")
@@ -77,6 +78,24 @@ class ScreenPrinter:
         self._log("-" * 78)
         self._log("  " + " | ".join(f"{h:>18s}" for h in self.header))
         self._log("-" * 78)
+
+    def _emit_partition_table(self, devs):
+        """Per-partition element/node counts (the reference's send/recv
+        partition table, ScreenOutput.py:179-210).  Partition metadata
+        comes from the grid's RCB parts when a reordered/partitioned grid
+        is in use; single-device grids list one partition."""
+        parts = getattr(self.grid, "elem_parts", None)
+        if parts is None:
+            return
+        import numpy as np
+        parts = np.asarray(parts)
+        conn = np.asarray(self.grid.conn)
+        self._log("  partitions:   #     elements     nodes(touched)")
+        for d in range(int(parts.max()) + 1):
+            sel = parts == d
+            n_nodes_d = len(np.unique(conn[sel]))
+            self._log(f"               {d + 1:2d}   {int(sel.sum()):9d}"
+                      f"     {n_nodes_d:9d}")
 
     def print_row(self, row):
         cells = []
