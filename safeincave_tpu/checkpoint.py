@@ -17,19 +17,35 @@ import jax.numpy as jnp
 
 def save_checkpoint(path: str, eq, t_control=None, heat_eq=None,
                     extra: dict | None = None):
-    """Serialize full simulation state to ``path`` (.npz)."""
+    """Serialize full simulation state to ``path`` (.npz).
+
+    Element arrays from sharded runs are sliced back to the true element
+    count (parallel/sharding.py pads to a multiple of the device count), so
+    a checkpoint saved from a sharded equation restores onto an unsharded
+    one and vice versa.
+    """
+    n_pad = getattr(eq, "n_elems", None)
+    n_true = getattr(eq, "n_elems_orig", n_pad)
+
+    def unpad(a):
+        a = np.asarray(a)
+        if (a.ndim >= 1 and n_pad is not None and a.shape[0] == n_pad
+                and n_pad > n_true):
+            return a[:n_true]
+        return a
+
     data = {
         "u": np.asarray(eq.u),
-        "sig_v": np.asarray(eq.sig_v),
-        "eps_tot_v": np.asarray(eq.eps_tot_v),
-        "Temp": np.asarray(eq.Temp),
-        "T0": np.asarray(eq.T0),
+        "sig_v": unpad(eq.sig_v),
+        "eps_tot_v": unpad(eq.eps_tot_v),
+        "Temp": unpad(eq.Temp),
+        "T0": unpad(eq.T0),
     }
     for idx, e in enumerate(eq.mat.elems_ne):
         for key, val in e.state.items():
-            data[f"elem{idx}_{key}"] = np.asarray(val)
+            data[f"elem{idx}_{key}"] = unpad(val)
         for key, val in e.params.items():
-            data[f"elemparam{idx}_{key}"] = np.asarray(val)
+            data[f"elemparam{idx}_{key}"] = unpad(val)
     if t_control is not None:
         data["tc_t"] = np.asarray(t_control.t)
         data["tc_step"] = np.asarray(t_control.step_counter)

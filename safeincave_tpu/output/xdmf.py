@@ -76,13 +76,24 @@ class SaveFields:
             self._handles[field_name] = h5
             self._times[field_name] = []
 
+    def _get_field(self, field_name):
+        """Fetch a field, slicing off device-count padding on element
+        arrays from sharded runs (parallel/sharding.py pads n_elems to a
+        multiple of the device count; the grid keeps the true count)."""
+        arr = np.asarray(getattr(self.eq, field_name))
+        n_true = getattr(self.eq, "n_elems_orig", self.grid.n_elems)
+        if (arr.shape[0] == getattr(self.eq, "n_elems", -1)
+                and arr.shape[0] > n_true):
+            arr = arr[:n_true]
+        return arr
+
     def save_fields(self, t: float):
         keep = (self._call_count % self.save_every == 0)
         self._call_count += 1
         if not keep:
             return
         for field_name, label in self.fields:
-            arr = np.asarray(getattr(self.eq, field_name))
+            arr = self._get_field(field_name)
             h5 = self._handles[field_name]
             step = len(self._times[field_name])
             center, attr_type, flat_shape = _field_layout(
@@ -95,7 +106,7 @@ class SaveFields:
     def save_mesh(self):
         """Finalize: emit XDMF XML and copy the source mesh for provenance."""
         for field_name, label in self.fields:
-            arr = np.asarray(getattr(self.eq, field_name))
+            arr = self._get_field(field_name)
             self._write_xdmf(field_name, arr)
             self._handles[field_name].close()
         mesh_dir = os.path.join(self.output_folder, "mesh")

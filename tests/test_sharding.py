@@ -85,6 +85,42 @@ class TestShardedExecution:
         np.testing.assert_allclose(sv_sh[:n_orig], sv_ref, rtol=1e-8,
                                    atol=0.1)
 
+    def test_sharded_outputs_and_checkpoint_unpadded(self, tmp_path):
+        """Element fields saved from a sharded run are sliced back to the
+        true element count, so outputs open normally and checkpoints
+        restore onto unsharded equations (ADVICE round-1, low #4)."""
+        import safeincave_tpu.postproc as pp
+        from safeincave_tpu.checkpoint import save_checkpoint, load_checkpoint
+
+        grid, eq = _build(nx=3)
+        n_true = eq.n_elems
+        shard_equation(eq, make_device_mesh())
+        assert eq.n_elems > n_true   # actually padded
+
+        out = sc.SaveFields(eq)
+        folder = str(tmp_path / "out")
+        out.set_output_folder(folder)
+        out.add_output_field("u", "Displacement (m)")
+        out.add_output_field("sig", "Stress (Pa)")
+        out.add_output_field("q_elems", "Von Mises (Pa)")
+        tc = sc.TimeController(dt=1.0, initial_time=0.0, final_time=1.0,
+                               time_unit="hour")
+        sc.Simulator_M(eq, tc, [out]).run()
+
+        t, v, pts, topo = pp.read_timeseries(folder, "sig")
+        assert v.shape[1] == n_true            # unpadded element count
+        ckpt = str(tmp_path / "ck.npz")
+        save_checkpoint(ckpt, eq, tc)
+
+        # restore onto a FRESH, UNSHARDED equation
+        grid2, eq2 = _build(nx=3)
+        tc2 = sc.TimeController(dt=1.0, initial_time=0.0, final_time=2.0,
+                                time_unit="hour")
+        load_checkpoint(ckpt, eq2, tc2)
+        np.testing.assert_allclose(np.asarray(eq2.sig_v),
+                                   np.asarray(eq.sig_v)[:n_true])
+        assert tc2.step_counter == tc.step_counter
+
     def test_padded_cells_are_inert(self):
         grid, eq = _build(nx=2)
         mesh = make_device_mesh()
