@@ -149,6 +149,67 @@ def bench_matvec(eq):
             f"{100*gbps/HBM_GBPS:.0f}% of HBM roofline)")
 
 
+def bench_tm(eq, n_steps=5):
+    """Second config (BASELINE.md): coupled thermomechanics on the same
+    mesh - heat step + momentum fixed point per step (reference
+    Simulator_TM regime, tol 1e-6 / <= 20 iters)."""
+    import jax
+    import jax.numpy as jnp
+    import safeincave_tpu as sc
+    heatBC = sc.HeatBC
+
+    grid = eq.grid
+    n = grid.n_elems
+    one = np.ones(n)
+    heat = sc.HeatDiffusion(grid)
+    heat.set_solver(sc.SolverSettings(method="cg", rtol=1e-12, max_it=400))
+    mat = eq.mat
+    mat.set_specific_heat_capacity(850.0 * one)
+    mat.set_thermal_conductivity(7.0 * one)
+    mat.add_to_thermoelastic(sc.Thermoelastic(44e-6 * one))
+    heat.set_material(mat)
+    heat.set_initial_T(298.0 * jnp.ones(grid.n_nodes))
+
+    tv = [0.0, 1e12]
+    bc_h = heatBC.BcHandler(heat)
+    names = grid.get_boundary_names()
+    if "Top" in names:
+        bc_h.add_boundary_condition(heatBC.DirichletBC("Top", [293., 293.],
+                                                       tv))
+    if "Cavern" in names:
+        bc_h.add_boundary_condition(heatBC.RobinBC("Cavern", [283., 283.],
+                                                   5.0, tv))
+    heat.set_boundary_conditions(bc_h)
+
+    # momentum already initialized by the mechanics phase; rewire T coupling
+    T_el = heat.get_T_elems()
+    eq.set_T0(T_el)
+    eq.set_T(T_el)
+    eq._jit_step = None   # material gained a thermoelastic element
+
+    dt = 3600.0
+    t0 = time.time()
+    heat.solve(dt, dt)
+    eq.set_T(heat.get_T_elems())
+    ite, err = eq.solve_time_step(dt, dt, tol=1e-6, maxiter=20)
+    import jax as _jax
+    _jax.block_until_ready(eq.u)
+    log(f"TM first step (incl. compile): {time.time()-t0:.2f}s")
+    t0 = time.time()
+    for k in range(n_steps):
+        t = (k + 2) * dt
+        heat.solve(t, dt)
+        eq.set_T(heat.get_T_elems())
+        ite, err = eq.solve_time_step(t, dt, tol=1e-6, maxiter=20)
+        eq.update_internal_variables()
+        eq.update_eps_ne_rate_old()
+        eq.update_eps_ne_old(eq.sig_v, eq._last_sv_k, dt)
+    _jax.block_until_ready(eq.u)
+    per = (time.time() - t0) / n_steps
+    log(f"TM config: {per*1000:.1f} ms/step over {n_steps} steps "
+        f"({ite} fp-iters last, err={err:.1e})")
+
+
 def main():
     import jax
     import safeincave_tpu  # noqa: F401  (x64)
@@ -201,6 +262,11 @@ def main():
         f"{iters_total/n_steps:.1f} fp-iters/step, "
         f"{kry_total/n_steps:.0f} krylov-iters/step), final err={err:.2e}, "
         f"last-solve res={eq.solver_stats[1]:.2e}")
+
+    try:
+        bench_tm(eq)
+    except Exception as exc:  # secondary metric must not kill the headline
+        log(f"TM config failed: {exc}")
 
     print(json.dumps({
         "metric": "newton_step_wallclock_cavern600",

@@ -52,6 +52,15 @@ class SolverSettings:
     # far stronger than Jacobi for 3D elasticity); "jacobi" = nodal blocks
     precond: str = "2level"
     coarse_agg: int = 16        # nodes per coarse aggregate
+    # adaptive_rtol=True solves the linearized systems only ~2 decades
+    # tighter than the fixed-point error (Eisenstat-Walker), converging to
+    # full-rtol solves with hysteresis.  Worth it when the linear solve
+    # dominates an iteration (very large meshes / weak preconditioning);
+    # at cavern-bench scale a tight solve costs barely more than a loose
+    # one while the gate costs ~2 extra fixed-point iterations of tangent
+    # + ISV work, so the default is the reference's always-tight semantics
+    # (PETSc rtol=1e-12 every iteration, Simulators.py:1075-1086).
+    adaptive_rtol: bool = False
 
     def solve_fn(self):
         return cg_solve if self.method == "cg" else bicgstab_solve
@@ -468,6 +477,7 @@ class LinearMomentum(LinearMomentumBase):
         elems_ne = list(mat.elems_ne)
         elems_th = list(mat.elems_th)
         trivial_error = (theta == 1.0) or (len(elems_ne) == 0)
+        adaptive = self.solver.adaptive_rtol
         solve_lin = _make_masked_solver(kern, self.solver)
         M_inv, M_inv32 = self._get_precond()
         rtol_floor = self.solver.rtol
@@ -508,7 +518,7 @@ class LinearMomentum(LinearMomentumBase):
                 # is only declared after an iteration whose solve was tight,
                 # so the converged fields carry rtol-level solver noise like
                 # the reference's always-1e-12 PETSc trajectory.
-                if trivial_error:
+                if trivial_error or not adaptive:
                     tight = jnp.asarray(True)
                     lin_rtol = jnp.asarray(rtol_floor, dtype=jnp.float64)
                 else:
@@ -570,6 +580,7 @@ class LinearMomentum(LinearMomentumBase):
         key = (id(self.mat), id(self.bc), self.solver.method,
                self.solver.rtol, self.solver.max_it, self.solver.precision,
                self.solver.precond, self.solver.coarse_agg,
+               self.solver.adaptive_rtol,
                len(self.mat.elems_ne), len(self.mat.elems_th))
         if self._jit_step is None or self._jit_step_key != key:
             self._jit_step = self._build_jit_step()

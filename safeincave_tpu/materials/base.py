@@ -43,6 +43,17 @@ import jax.numpy as jnp
 from ..utils import (VOIGT_WEIGHT, tensor_to_voigt, voigt_to_tensor)
 
 
+def apply66(M, v):
+    """Batched Voigt 6x6 apply M @ v for M (E,6,6), v (E,6), full-lane.
+
+    einsum('nij,nj->ni', ...) lowers to E tiny matmuls on TPU (software-
+    emulated in f64); transposing to the stacked (6,6,E) layout and doing a
+    broadcast-multiply-reduce keeps the element axis on the 128-wide vector
+    lanes (see fem/kernels.py module docstring for the measurements).
+    """
+    return (jnp.transpose(M, (1, 2, 0)) * v.T[None]).sum(1).T
+
+
 def _as_voigt(stress) -> jnp.ndarray:
     """Accept (N, 3, 3) tensors (reference API) or (N, 6) Voigt arrays."""
     stress = jnp.asarray(stress, dtype=jnp.float64)
@@ -138,7 +149,7 @@ class NonElasticElement:
         plain Voigt matvec, exactly like ``dotdot_torch``.)
         """
         new = dict(state)
-        dG = jnp.einsum("nij,nj->ni", state["G"], sv6 - sv6_k)
+        dG = apply66(state["G"], sv6 - sv6_k)
         new["eps_old"] = state["eps_k"] + phi2 * dG - phi2 * state["B"]
         return new
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..linalg import inv6x6_fast
 from ..utils import VOIGT_WEIGHT, voigt_to_tensor
-from .base import NonElasticElement, _as_voigt
+from .base import NonElasticElement, apply66, _as_voigt
 from .elastic import isotropic_C
 
 _R_GAS = 8.32  # gas constant value used by the reference (MaterialProps.py:915)
@@ -118,8 +118,8 @@ class Viscoelastic(NonElasticElement):
 
     def f_rate_value(self, state, sv6, phi1, T):
         hist = state["eps_old"] + phi1 * state["rate_old"]
-        drive = sv6 - jnp.einsum("nij,nj->ni", self.C1, hist)
-        return jnp.einsum("nij,nj->ni", state["G"], drive)
+        drive = sv6 - apply66(self.C1, hist)
+        return apply66(state["G"], drive)
 
 
 class MunsonDawsonCreep(NonElasticElement):
