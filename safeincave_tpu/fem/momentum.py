@@ -586,8 +586,16 @@ class LinearMomentum(LinearMomentumBase):
             self._jit_step = self._build_jit_step()
             self._jit_step_key = key
         states = [e.state for e in self.mat.elems_ne]
+        # Krylov initial guess: linear time extrapolation from the previous
+        # committed step (u is ONLY the solver x0 - the fixed-point error
+        # baseline is eps_tot_v - so a bad guess costs iterations, never
+        # accuracy).  On a dt-retry self.u is restored to the committed
+        # state, making the extrapolation a no-op.
+        u_prev = getattr(self, "_u_last_step", None)
+        u0 = self.u if u_prev is None else self.u + (self.u - u_prev)
+        self._u_last_step = self.u
         (states, sv, eps_v, u, sv_k, ite, err, stats) = self._jit_step(
-            states, self.sig_v, self.eps_tot_v, self.u, self.b_body,
+            states, self.sig_v, self.eps_tot_v, u0, self.b_body,
             self.Temp, self.T0, t, dt, tol, maxiter)
         for e, st in zip(self.mat.elems_ne, states):
             e.state = st
