@@ -61,12 +61,12 @@ def build(nx=17):
         names = grid.get_boundary_names()
 
     eq = sc.LinearMomentum(grid, theta=0.5)
-    # CG: 1 matvec/iteration (vs BiCGStab's 2) - ~20% fewer matvecs overall
-    # on this near-symmetric tangent (Desai's rank-one term is mild; the
-    # f64 refinement loop guards against any CG drift).  max_it is the
-    # per-refinement-pass f32 Krylov cap; coarse_agg=8 trades a slightly
-    # larger dense coarse space for ~10% fewer iterations.
-    eq.set_solver(sc.SolverSettings(method="cg", rtol=1e-12,
+    # BiCGStab measures ~2x faster per converged solve than CG on TPU for
+    # this tangent despite 2 matvecs/iteration (fewer, more productive
+    # iterations).  max_it is the per-refinement-pass f32 Krylov cap;
+    # coarse_agg=8 trades a slightly larger dense coarse space for fewer
+    # iterations.
+    eq.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12,
                                     max_it=400, coarse_agg=8))
     n = eq.n_elems
     log("building material...")
