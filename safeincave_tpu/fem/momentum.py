@@ -73,25 +73,18 @@ class SolverSettings:
         return cg_solve if self.method == "cg" else bicgstab_solve
 
 
-def _masked_block_jacobi(kern, CT, mask):
-    """Nodal 3x3 block-Jacobi preconditioner respecting Dirichlet masking.
-
-    Returns (M_inv_f64, M_inv_f32); the blocks are built and inverted once
-    in f64, then cast for the f32 Krylov path.
-    """
+def _block_jacobi_arrays(kern, CT, mask):
+    """Masked nodal 3x3 block inverses (the Jacobi smoother data)."""
     blk = kern.block_diagonal(CT)
     blk = blk * mask[:, :, None] * mask[:, None, :]
     blk = blk + (1.0 - mask)[:, :, None] * jnp.eye(3, dtype=blk.dtype)[None]
-    inv = inv3x3(blk)
-    inv32 = inv.astype(jnp.float32)
+    return inv3x3(blk)
 
-    def M_inv(r):
-        return jnp.einsum("nij,nj->ni", inv, r)
 
-    def M_inv32(r):
-        return jnp.einsum("nij,nj->ni", inv32, r)
-
-    return M_inv, M_inv32
+def _blk_apply(inv, r):
+    """(N,3,3) block apply in stacked full-lane form."""
+    inv_t = jnp.transpose(inv, (1, 2, 0)).astype(r.dtype)     # (3,3,N)
+    return (inv_t * r.T[None]).sum(1).T
 
 
 def _coarse_space(kern, CT, mask, G):
@@ -129,46 +122,64 @@ def _coarse_space(kern, CT, mask, G):
     return jnp.linalg.inv(Ac), n_agg, pad
 
 
-def _two_level_apply(blk_apply, coarse_inv, mask, n_agg, G, pad):
+def _two_level_apply(blk_inv, coarse_inv, mask, r, n_agg, G, pad):
     """Additive two-level preconditioner: block-Jacobi + coarse correction."""
-    def M_inv(r):
-        z = blk_apply(r)
-        rp = jnp.pad(r * mask, ((0, pad), (0, 0)))
-        rc = rp.reshape(n_agg, G, 3).sum(axis=1).astype(jnp.float32)
-        zc = (coarse_inv @ rc.reshape(-1)).reshape(n_agg, 3)
-        zf = jnp.repeat(zc, G, axis=0)[:r.shape[0]].astype(r.dtype)
-        return z + zf * mask
-    return M_inv
+    z = _blk_apply(blk_inv, r)
+    rp = jnp.pad(r * mask, ((0, pad), (0, 0)))
+    rc = rp.reshape(n_agg, G, 3).sum(axis=1).astype(jnp.float32)
+    zc = (coarse_inv @ rc.reshape(-1)).reshape(n_agg, 3)
+    zf = jnp.repeat(zc, G, axis=0)[:r.shape[0]].astype(r.dtype)
+    return z + zf * mask
 
 
 def build_preconditioner(kern, C, mask, settings: SolverSettings):
-    """(M_inv_f64, M_inv_f32) for the masked operator.
+    """(P, apply) for the masked operator, where ``P`` is a pytree of
+    concrete preconditioner arrays and ``apply(P, r, mask)`` the (dtype-
+    polymorphic) application.  P is threaded through the jitted solvers as
+    an ARGUMENT - closing over it would embed gigabyte-scale constants
+    (the dense inverse) into every executable.
 
     Built from the **constant elastic stiffness C** and the (static)
-    Dirichlet mask, so it can be computed eagerly once per wiring rather
-    than re-assembled inside every linear solve: the consistent tangent CT
-    only perturbs C by the per-step creep compliance, and a slightly lagged
-    preconditioner costs a few extra Krylov iterations while saving the
-    ~O(100 ms) per-solve setup (block build + coarse assembly + inverse)
-    entirely.  The dense coarse space needs the unsharded kernel's global
-    geometry; the SPMD path keeps pure block-Jacobi (its psum'd blocks are
-    already global).
+    Dirichlet mask, so it is computed eagerly once per wiring: the
+    consistent tangent CT only perturbs C by the per-step creep
+    compliance, and a slightly lagged preconditioner costs a few extra
+    Krylov iterations while saving all per-solve setup.  The dense/coarse
+    modes need the unsharded kernel's global geometry; the SPMD path keeps
+    pure block-Jacobi (its psum'd blocks are already global).
     """
     local = hasattr(kern, "_scat_perm")   # unsharded kernel => global view
     mode = settings.precond
     if mode == "auto":
         mode = ("dense" if local and 3 * kern.n_nodes <=
                 settings.dense_max_dofs else "2level")
+
     if mode == "dense" and local:
-        return _dense_inverse_precond(kern, C, mask)
-    M_inv, M_inv32 = _masked_block_jacobi(kern, C, mask)
+        inv = _dense_inverse_precond(kern, C, mask)
+
+        def apply_dense(P, r, m):
+            (inv,) = P
+            x = inv @ r.reshape(-1).astype(jnp.float32)
+            return x.reshape(-1, 3).astype(r.dtype)
+
+        return (inv,), apply_dense
+
+    blk_inv = _block_jacobi_arrays(kern, C, mask)
     if mode == "2level" and local:
         G = settings.coarse_agg
         coarse_inv, n_agg, pad = _coarse_space(kern, C, mask, G)
-        M_inv = _two_level_apply(M_inv, coarse_inv, mask, n_agg, G, pad)
-        M_inv32 = _two_level_apply(M_inv32, coarse_inv,
-                                   mask.astype(jnp.float32), n_agg, G, pad)
-    return M_inv, M_inv32
+
+        def apply_2l(P, r, m):
+            blk_inv, coarse_inv = P
+            return _two_level_apply(blk_inv, coarse_inv, m.astype(r.dtype),
+                                    r, n_agg, G, pad)
+
+        return (blk_inv, coarse_inv), apply_2l
+
+    def apply_bj(P, r, m):
+        (blk_inv,) = P
+        return _blk_apply(blk_inv, r)
+
+    return (blk_inv,), apply_bj
 
 
 def _element_stiffness(kern, C):
@@ -189,6 +200,32 @@ def _element_stiffness(kern, C):
     return jnp.einsum("ebjk,eaik,k,e->eaibj", sig6, eps6, w, kern.vol)
 
 
+def _block_inv32(A, leaf: int = 4096):
+    """Dense f32 inverse via recursive 2x2 Schur complements.
+
+    XLA's TPU LU custom call runs out of scoped VMEM beyond ~8k rows, so
+    big inverses are reduced to MXU matmuls: invert A11 and the Schur
+    complement S = A22 - A21 inv11 A12 recursively, assemble the block
+    inverse.  Stable for the SPD masked elastic operator; f32 is ample for
+    a preconditioner.  Runs eagerly (concrete arrays), ~n^3 matmul FLOPs.
+    """
+    n = A.shape[0]
+    if n <= leaf:
+        return jnp.linalg.inv(A)
+    k = (n // 2 + 127) // 128 * 128        # MXU-aligned split
+    A11, A12 = A[:k, :k], A[:k, k:]
+    A21, A22 = A[k:, :k], A[k:, k:]
+    inv11 = _block_inv32(A11, leaf)
+    X = inv11 @ A12
+    Y = A21 @ inv11
+    S = A22 - A21 @ X
+    invS = _block_inv32(S, leaf)
+    XiS = X @ invS
+    top = jnp.concatenate([inv11 + XiS @ Y, -XiS], axis=1)
+    bot = jnp.concatenate([-invS @ Y, invS], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
 def _dense_inverse_precond(kern, C, mask):
     """Dense f32 inverse of the masked elastic operator (once per wiring).
 
@@ -201,47 +238,54 @@ def _dense_inverse_precond(kern, C, mask):
     HBM capacity (which the chip has) for iteration count.
     """
     n = kern.n_nodes
-    Ke = np.asarray(_element_stiffness(kern, C))              # (E,4,3,4,3)
+    Ke = _element_stiffness(kern, C)                          # device, f64
+    # flat scatter indices, built host-side (14 MB of int32 vs shipping the
+    # gigabyte-scale assembled matrix through the host<->device link)
     conn = np.asarray(kern.conn)
-    dof = (3 * conn[:, :, None] + np.arange(3)[None, None, :])  # (E,4,3)
+    dof = (3 * conn[:, :, None].astype(np.int64)
+           + np.arange(3)[None, None, :])                     # (E,4,3)
     rows = np.repeat(dof.reshape(-1, 12), 12, axis=1).reshape(-1)
     cols = np.tile(dof.reshape(-1, 12), (1, 12)).reshape(-1)
-    A = np.zeros((3 * n, 3 * n), dtype=np.float64)
-    np.add.at(A, (rows, cols), Ke.reshape(-1))
-    m = np.asarray(mask).reshape(-1)
-    A = A * m[:, None] * m[None, :]
-    np.fill_diagonal(A, np.diag(A) + (1.0 - m))
-    # scale to O(1) before the f32 inverse (stiffness entries ~1e15)
-    scale = np.abs(np.diag(A)).max()
-    A32 = jnp.asarray((A / scale).astype(np.float32))
-    inv = jnp.linalg.inv(A32) * jnp.float32(1.0 / scale)
+    flat_idx = jnp.asarray(rows * (3 * n) + cols, dtype=jnp.int64)
 
-    def M_inv(r):
-        x = inv @ r.reshape(-1).astype(jnp.float32)
-        return x.reshape(-1, 3).astype(r.dtype)
+    @jax.jit
+    def _assemble(Ke, m):
+        A = jnp.zeros((3 * n) * (3 * n), dtype=jnp.float32)
+        A = A.at[flat_idx].add(Ke.reshape(-1).astype(jnp.float32))
+        A = A.reshape(3 * n, 3 * n)
+        A = A * m[:, None] * m[None, :]
+        d = jnp.diagonal(A)
+        scale = jnp.abs(d).max()
+        A = A / scale
+        A = A + jnp.diag(1.0 - m)
+        return A, scale
 
-    return M_inv, M_inv
+    A32, scale = _assemble(Ke, jnp.asarray(mask).reshape(-1)
+                           .astype(jnp.float32))
+    return _block_inv32(A32) / scale
 
 
-def _make_masked_solver(kern, settings: SolverSettings):
-    """Build solve_lin(CT, b, mask, u_bc, x0, rtol, M_inv, M_inv32)
-    -> (x, iters, res).
+def _make_masked_solver(kern, settings: SolverSettings, apply_M):
+    """Build solve_lin(CT, b, mask, u_bc, x0, rtol, P) -> (x, iters, res).
 
     Applies Dirichlet conditions by masking + lifting (the matrix-free
     equivalent of PETSc apply_lifting/set_bc, reference
     MomentumEquation.py:908-922) and dispatches to the configured
     mixed-precision or straight-f64 Krylov solve.  ``rtol`` is traced so the
-    nonlinear loop can adapt it per iteration; the preconditioner pair comes
-    from :func:`build_preconditioner` (constant, prebuilt).
+    nonlinear loop can adapt it per iteration; ``P`` carries the prebuilt
+    preconditioner arrays (build_preconditioner), applied via ``apply_M``.
     """
     solve = settings.solve_fn()
     mixed = settings.precision == "mixed"
 
-    def solve_lin(CT, b, mask, u_bc, x0, rtol, M_inv, M_inv32):
+    def solve_lin(CT, b, mask, u_bc, x0, rtol, P):
         CT_hi = kern.prep(CT)
 
         def Aop(x):
             return mask * kern.matvec(CT_hi, mask * x) + (1.0 - mask) * x
+
+        def M_inv(r):
+            return apply_M(P, r, mask)
 
         b_eff = mask * (b - kern.matvec(CT_hi, u_bc)) + (1.0 - mask) * u_bc
         if mixed:
@@ -251,6 +295,9 @@ def _make_masked_solver(kern, settings: SolverSettings):
             def Aop32(x):
                 return (mask32 * kern.matvec(CT_lo, mask32 * x)
                         + (1.0 - mask32) * x)
+
+            def M_inv32(r):
+                return apply_M(P, r, mask32)
 
             return ir_solve(Aop, Aop32, b_eff, x0, M_inv32,
                             inner_solve=solve, rtol=rtol,
@@ -465,8 +512,8 @@ class LinearMomentum(LinearMomentumBase):
 
     # ------------------------------------------------------------------ #
     def _get_precond(self):
-        """Constant preconditioner pair, built eagerly from C + the static
-        Dirichlet mask (see build_preconditioner)."""
+        """(P, apply): constant preconditioner arrays built eagerly from C +
+        the static Dirichlet mask (see build_preconditioner)."""
         if self._precond is None:
             if not hasattr(self.bc, "mask"):
                 self.bc.update_dirichlet(0.0)
@@ -475,15 +522,17 @@ class LinearMomentum(LinearMomentumBase):
         return self._precond
 
     def _get_jit_solve(self):
-        """Cached jitted masked Krylov solve (CT, b, mask, u_bc, x0 traced)."""
+        """Cached jitted masked Krylov solve (CT, b, mask, u_bc, x0, P
+        traced)."""
         if self._jit_solve is None:
-            solve_lin = _make_masked_solver(self.kernel, self.solver)
+            P, apply_M = self._get_precond()
+            solve_lin = _make_masked_solver(self.kernel, self.solver,
+                                            apply_M)
             rtol = self.solver.rtol
-            M_inv, M_inv32 = self._get_precond()
 
             @jax.jit
-            def _solve(CT, b, mask, u_bc, x0):
-                return solve_lin(CT, b, mask, u_bc, x0, rtol, M_inv, M_inv32)
+            def _solve(CT, b, mask, u_bc, x0, P):
+                return solve_lin(CT, b, mask, u_bc, x0, rtol, P)
 
             self._jit_solve = _solve
         return self._jit_solve
@@ -492,7 +541,8 @@ class LinearMomentum(LinearMomentumBase):
         """Solve a(CT) u = b with Dirichlet masking + lifting."""
         mask, u_bc = self.bc.mask, self.bc.u_bc
         x0 = mask * self.u + (1.0 - mask) * u_bc
-        x, iters, res = self._get_jit_solve()(CT, b, mask, u_bc, x0)
+        P, _ = self._get_precond()
+        x, iters, res = self._get_jit_solve()(CT, b, mask, u_bc, x0, P)
         self.solver_stats = (int(iters), float(res))
         return x
 
@@ -531,13 +581,14 @@ class LinearMomentum(LinearMomentumBase):
         elems_th = list(mat.elems_th)
         trivial_error = (theta == 1.0) or (len(elems_ne) == 0)
         adaptive = self.solver.adaptive_rtol
-        solve_lin = _make_masked_solver(kern, self.solver)
-        M_inv, M_inv32 = self._get_precond()
+        _, apply_M = self._get_precond()
+        solve_lin = _make_masked_solver(kern, self.solver, apply_M)
         rtol_floor = self.solver.rtol
         w_err = jnp.asarray([1., 1., 1., 2., 2., 2.])
 
         @jax.jit
-        def _step(states, sv, eps_v, u, b_body, Temp, T0, t, dt, tol, maxiter):
+        def _step(states, sv, eps_v, u, b_body, Temp, T0, t, dt, tol,
+                  maxiter, P):
             mask, u_bc = bc.dirichlet_arrays(t)
             b_ext = b_body + bc.neumann_rhs(t)
 
@@ -582,7 +633,7 @@ class LinearMomentum(LinearMomentumBase):
                 b = b_ext + kern.internal_force(kern.apply66(CT, eps_rhs))
                 x0 = mask * u + (1.0 - mask) * u_bc
                 u_new, kry, lin_res = solve_lin(CT, b, mask, u_bc, x0,
-                                                lin_rtol, M_inv, M_inv32)
+                                                lin_rtol, P)
                 # strain, stress (reference :844-866)
                 eps_new = kern.strain(u_new)
                 sv_new = kern.apply66(CT, eps_new - eps_rhs)
@@ -647,9 +698,10 @@ class LinearMomentum(LinearMomentumBase):
         u_prev = getattr(self, "_u_last_step", None)
         u0 = self.u if u_prev is None else self.u + (self.u - u_prev)
         self._u_last_step = self.u
+        P, _ = self._get_precond()
         (states, sv, eps_v, u, sv_k, ite, err, stats) = self._jit_step(
             states, self.sig_v, self.eps_tot_v, u0, self.b_body,
-            self.Temp, self.T0, t, dt, tol, maxiter)
+            self.Temp, self.T0, t, dt, tol, maxiter, P)
         for e, st in zip(self.mat.elems_ne, states):
             e.state = st
         self.sig_v = sv
