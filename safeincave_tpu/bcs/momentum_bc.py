@@ -106,6 +106,14 @@ class BcHandler:
         else:
             raise Exception(f"Boundary type {bc.type} not supported.")
 
+    @property
+    def all_zero_dirichlet(self) -> bool:
+        """Static: every Dirichlet schedule is identically zero (the usual
+        fixed-support case).  Lets the solver skip the lifting matvec
+        A @ u_bc entirely (a full f64 stiffness action per linear solve)."""
+        return all(np.all(np.asarray(bc.values) == 0.0)
+                   for bc in self.dirichlet_boundaries)
+
     # ------------------------------------------------------------------ #
     # Traceable array builders
     # ------------------------------------------------------------------ #

@@ -265,7 +265,8 @@ def _dense_inverse_precond(kern, C, mask):
     return _block_inv32(A32) / scale
 
 
-def _make_masked_solver(kern, settings: SolverSettings, apply_M):
+def _make_masked_solver(kern, settings: SolverSettings, apply_M,
+                        zero_dirichlet: bool = False):
     """Build solve_lin(CT, b, mask, u_bc, x0, rtol, P) -> (x, iters, res).
 
     Applies Dirichlet conditions by masking + lifting (the matrix-free
@@ -274,6 +275,9 @@ def _make_masked_solver(kern, settings: SolverSettings, apply_M):
     mixed-precision or straight-f64 Krylov solve.  ``rtol`` is traced so the
     nonlinear loop can adapt it per iteration; ``P`` carries the prebuilt
     preconditioner arrays (build_preconditioner), applied via ``apply_M``.
+    ``zero_dirichlet=True`` (static, from BcHandler.all_zero_dirichlet)
+    drops the lifting matvec A @ u_bc - a full f64 stiffness action per
+    solve that is identically zero for homogeneous supports.
     """
     solve = settings.solve_fn()
     mixed = settings.precision == "mixed"
@@ -287,7 +291,11 @@ def _make_masked_solver(kern, settings: SolverSettings, apply_M):
         def M_inv(r):
             return apply_M(P, r, mask)
 
-        b_eff = mask * (b - kern.matvec(CT_hi, u_bc)) + (1.0 - mask) * u_bc
+        if zero_dirichlet:
+            b_eff = mask * b
+        else:
+            b_eff = (mask * (b - kern.matvec(CT_hi, u_bc))
+                     + (1.0 - mask) * u_bc)
         if mixed:
             CT_lo = kern.prep(CT.astype(jnp.float32))
             mask32 = mask.astype(jnp.float32)
@@ -526,8 +534,9 @@ class LinearMomentum(LinearMomentumBase):
         traced)."""
         if self._jit_solve is None:
             P, apply_M = self._get_precond()
-            solve_lin = _make_masked_solver(self.kernel, self.solver,
-                                            apply_M)
+            solve_lin = _make_masked_solver(
+                self.kernel, self.solver, apply_M,
+                zero_dirichlet=getattr(self.bc, "all_zero_dirichlet", False))
             rtol = self.solver.rtol
 
             @jax.jit
@@ -582,7 +591,9 @@ class LinearMomentum(LinearMomentumBase):
         trivial_error = (theta == 1.0) or (len(elems_ne) == 0)
         adaptive = self.solver.adaptive_rtol
         _, apply_M = self._get_precond()
-        solve_lin = _make_masked_solver(kern, self.solver, apply_M)
+        solve_lin = _make_masked_solver(
+            kern, self.solver, apply_M,
+            zero_dirichlet=getattr(bc, "all_zero_dirichlet", False))
         rtol_floor = self.solver.rtol
         w_err = jnp.asarray([1., 1., 1., 2., 2., 2.])
 
