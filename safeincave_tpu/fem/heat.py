@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from .kernels import HeatKernel
-from .solvers import cg_solve
+from .solvers import cg_solve, ir_solve
 from .momentum import SolverSettings
 
 
@@ -60,10 +60,14 @@ class HeatDiffusion:
 
     def _build_jit_step(self):
         """The whole implicit heat step as one jitted program (BC arrays,
-        assembly, Jacobi-CG)."""
+        assembly, Jacobi-CG).  Mixed precision like the momentum solve:
+        f32 CG iterations under f64 defect correction (fem/solvers.ir_solve);
+        the Robin facet term is tiny and stays f64 inside the f32 operator.
+        """
         kern = self.kernel
         bc = self.bc
         rtol, maxiter = self.solver.rtol, self.solver.max_it
+        mixed = self.solver.precision == "mixed"
 
         @jax.jit
         def _step(T, T_old, k, rho, cp, t, dt):
@@ -73,30 +77,42 @@ class HeatDiffusion:
             coef = rho * cp / dt
 
             def A_full(x):
+                robin = bc.robin_operator_apply(
+                    x.astype(jnp.float64)).astype(x.dtype)
                 return (kern.mass_apply(coef, x)
-                        + kern.stiffness_apply(k, x)
-                        + bc.robin_operator_apply(x))
+                        + kern.stiffness_apply(k, x) + robin)
 
             def Aop(x):
                 # masked operator with identity on Dirichlet dofs
-                return mask * A_full(mask * x) + (1.0 - mask) * x
+                m = mask.astype(x.dtype)
+                return m * A_full(m * x) + (1.0 - m) * x
 
             diag = mask * (kern.mass_diagonal(coef)
                            + kern.stiffness_diagonal(k)
                            + bc.robin_diagonal()) + (1.0 - mask)
             diag = jnp.where(jnp.abs(diag) > 0, diag, 1.0)
 
+            def M_inv(r):
+                return r / diag.astype(r.dtype)
+
             b = kern.mass_apply(coef, T_old) + b_neumann + b_robin
             b_eff = mask * (b - A_full(T_bc)) + (1.0 - mask) * T_bc
             x0 = mask * T + (1.0 - mask) * T_bc
-            return cg_solve(Aop, b_eff, x0, lambda r: r / diag,
+            if mixed:
+                return ir_solve(Aop, Aop, b_eff, x0, M_inv,
+                                inner_solve=cg_solve, rtol=rtol,
+                                inner_rtol=self.solver.inner_rtol,
+                                inner_maxiter=maxiter,
+                                max_passes=self.solver.max_passes)
+            return cg_solve(Aop, b_eff, x0, M_inv,
                             rtol=rtol, maxiter=maxiter)
 
         return _step
 
     def solve(self, t, dt):
         """Assemble and solve one implicit step (reference :304-365)."""
-        key = (id(self.bc), self.solver.rtol, self.solver.max_it)
+        key = (id(self.bc), self.solver.rtol, self.solver.max_it,
+               self.solver.precision)
         if getattr(self, "_jit_step_key", None) != key:
             self._jit_step = self._build_jit_step()
             self._jit_step_key = key

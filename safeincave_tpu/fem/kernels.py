@@ -225,25 +225,35 @@ class HeatKernel:
         self.conn = jnp.asarray(grid.conn, dtype=jnp.int32)
         self.grad_N = jnp.asarray(grid.grad_N)
         self.vol = jnp.asarray(grid.volumes)
+        self.grad_N32 = self.grad_N.astype(jnp.float32)
+        self.vol32 = self.vol.astype(jnp.float32)
         self.n_nodes = grid.n_nodes
         self.n_elems = grid.n_elems
         # consistent P1 tet mass: V (1 + delta_ab) / 20
         self._mass_local = (np.ones((4, 4)) + np.eye(4)) / 20.0
         self._mass_local = jnp.asarray(self._mass_local)
 
+    def _geom(self, dtype):
+        if dtype == jnp.float32:
+            return self.grad_N32, self.vol32
+        return self.grad_N, self.vol
+
     def mass_apply(self, coef: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
         """(coef * T, v) with DG0 coef, P1 T and v."""
+        _, vol = self._geom(T.dtype)
         T_e = T[self.conn]                                        # (E, 4)
-        m = jnp.einsum("ab,eb,e->ea", self._mass_local, T_e,
-                       coef * self.vol)
+        m = jnp.einsum("ab,eb,e->ea", self._mass_local.astype(T.dtype),
+                       T_e, coef.astype(T.dtype) * vol)
         return jax.ops.segment_sum(m.reshape(-1), self.conn.reshape(-1),
                                    num_segments=self.n_nodes)
 
     def stiffness_apply(self, k: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
         """(k grad T, grad v) with DG0 conductivity."""
+        grad_N, vol = self._geom(T.dtype)
         T_e = T[self.conn]
-        gT = jnp.einsum("ea,eai->ei", T_e, self.grad_N)           # (E, 3)
-        f = jnp.einsum("ei,eai,e->ea", gT, self.grad_N, k * self.vol)
+        gT = jnp.einsum("ea,eai->ei", T_e, grad_N)                # (E, 3)
+        f = jnp.einsum("ei,eai,e->ea", gT, grad_N,
+                       k.astype(T.dtype) * vol)
         return jax.ops.segment_sum(f.reshape(-1), self.conn.reshape(-1),
                                    num_segments=self.n_nodes)
 
