@@ -24,6 +24,13 @@ rate sweeps per model per iteration (reference MomentumEquation.py:640-675,
 :1008-1025); ~0.5-0.7 s per assemble+solve on a 16kDOF tet mesh on a CPU
 node is typical for that stack, giving ~2 s/step (SURVEY.md 6; no published
 numbers exist - BASELINE.md records "published: {}").
+
+Cross-check: THIS framework, running the identical workload on the host CPU
+(JAX_PLATFORMS=cpu, single core), measures ~2.4 s/step - with exact-autodiff
+tangents and a stronger preconditioner than the reference uses.  The
+reference stack with its 12-sweep FD tangents on comparable hardware cannot
+plausibly be faster than that, so 2.0 s/step is a conservative (generous to
+the reference) baseline.
 """
 import faulthandler
 import json
