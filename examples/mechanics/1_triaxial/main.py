@@ -34,12 +34,12 @@ class LinearMomentumMod(sc.LinearMomentum):
         self.Fvp = vp.state["Fvp"]
 
 
-def main():
+def main(final_time=24.0, dt=0.5):
     grid = sc.GridBox(nx=4, ny=4, nz=4)
     output_folder = os.path.join("output", "case_0")
 
-    t_control = sc.TimeController(dt=0.5, initial_time=0.0, final_time=24,
-                                  time_unit="hour")
+    t_control = sc.TimeController(dt=dt, initial_time=0.0,
+                                  final_time=final_time, time_unit="hour")
 
     mom_eq = LinearMomentumMod(grid, theta=0.5)
     mom_eq.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12,

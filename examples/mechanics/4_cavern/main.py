@@ -61,7 +61,7 @@ def lithostatic_bcs(eq, names, tv, p_top):
     return bc
 
 
-def main():
+def main(eq_hours=24.0, eq_dt=2.0, op_hours=48.0, op_dt=1.0):
     grid, eq, names = build_equation()
     out_root = "output"
     p_top = 10 * ut.MPa
@@ -69,8 +69,8 @@ def main():
     rho_fluid = 8.01942       # kg/m3-equivalent gas column density
 
     # ---- stage 1: equilibrium ---------------------------------------- #
-    tc_eq = sc.TimeController(dt=2.0, initial_time=0.0, final_time=24.0,
-                              time_unit="hour")
+    tc_eq = sc.TimeController(dt=eq_dt, initial_time=0.0,
+                              final_time=eq_hours, time_unit="hour")
     tv = [0.0, tc_eq.t_final]
     bc = lithostatic_bcs(eq, names, tv, p_top)
     if names["cavern"]:
@@ -87,8 +87,8 @@ def main():
     sc.Simulator_M(eq, tc_eq, [out], compute_elastic_response=True).run()
 
     # ---- stage 2: operation (cyclic cavern pressure) ------------------ #
-    tc_op = sc.TimeController(dt=1.0, initial_time=0.0, final_time=48.0,
-                              time_unit="hour")
+    tc_op = sc.TimeController(dt=op_dt, initial_time=0.0,
+                              final_time=op_hours, time_unit="hour")
     cycle_t = np.linspace(0.0, tc_op.t_final, 49)
     p_min, p_max = 6 * ut.MPa, 12 * ut.MPa
     cycle_p = p_min + 0.5 * (p_max - p_min) * (

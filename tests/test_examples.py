@@ -34,6 +34,23 @@ def test_thermomechanics_cube(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_triaxial(tmp_path, monkeypatch):
+    _run_example(os.path.join(EXAMPLES, "mechanics", "1_triaxial",
+                              "main.py"), tmp_path, monkeypatch,
+                 kwargs={"final_time": 2.0, "dt": 0.5})
+    assert os.path.isfile(tmp_path / "output" / "case_0" / "u" / "u.xdmf")
+
+
+@pytest.mark.slow
+def test_cavern_staged(tmp_path, monkeypatch):
+    _run_example(os.path.join(EXAMPLES, "mechanics", "4_cavern",
+                              "main.py"), tmp_path, monkeypatch,
+                 kwargs={"eq_hours": 2.0, "eq_dt": 1.0,
+                         "op_hours": 2.0, "op_dt": 1.0})
+    assert os.path.isfile(tmp_path / "output" / "operation" / "u" / "u.xdmf")
+
+
+@pytest.mark.slow
 def test_cube_regions(tmp_path, monkeypatch):
     _run_example(os.path.join(EXAMPLES, "mechanics", "2_cube_regions",
                               "main.py"), tmp_path, monkeypatch)
