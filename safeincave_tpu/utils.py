@@ -38,7 +38,9 @@ VOIGT_J = np.array([0, 1, 2, 1, 2, 2])
 
 # Column/row scaling turning a single-entry derivative into the full symmetric
 # tensor contraction:  df/dS : dS  =  sum_k  colfac[k] * df/dS_voigt[k] * dS_voigt[k]
-VOIGT_WEIGHT = jnp.asarray([1.0, 1.0, 1.0, 2.0, 2.0, 2.0])
+# host-side constant: device arrays must not be created at import time
+# (importing the package would then require an initialized backend)
+VOIGT_WEIGHT = np.asarray([1.0, 1.0, 1.0, 2.0, 2.0, 2.0])
 
 
 def read_json(file_name: str) -> dict:
