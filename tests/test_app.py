@@ -142,3 +142,66 @@ class TestRunners:
         assert ok and "answer 42" in out and ns["x"] == 42
         ok, out, _ = run_script("raise RuntimeError('boom')")
         assert not ok and "boom" in out
+
+
+def _has_display():
+    import tkinter
+    try:
+        root = tkinter.Tk()
+        root.destroy()
+        return True
+    except Exception:
+        return False
+
+
+class TestGsApp:
+    """Tkinter GUI (reference app/gsapp.py + MyBoundaryCond.py +
+    MyConstitutiveModel.py).  Widget-free helpers are always tested;
+    window construction/round-trip only when a display exists."""
+
+    def test_helpers_headless(self):
+        from safeincave_tpu.app import gsapp
+        assert gsapp._parse_number_list("1, 2.5\n3e6") == [1.0, 2.5, 3e6]
+        assert gsapp._fmt([1, 2]) == "[1, 2]"
+        assert gsapp._fmt(0.5) == "0.5"
+        # the lazy gui() export resolves to the real entry point
+        import safeincave_tpu.app as app_pkg
+        assert callable(app_pkg.gui)
+        assert set(gsapp._ELASTIC_PARAMS) == {"E", "nu"}
+
+    @pytest.mark.skipif(not _has_display(), reason="no X display")
+    def test_gui_roundtrip(self, grid_dir, tmp_path):
+        from safeincave_tpu.app.gsapp import GsApp
+        path = str(tmp_path / "case.json")
+        _build_case(grid_dir, str(tmp_path / "out")).save(path)
+        app = GsApp(path)
+        try:
+            app.root.update_idletasks()
+            # edit via widgets: theta and a constitutive block
+            app.theta_e.delete(0, "end")
+            app.theta_e.insert(0, "1.0")
+            app.cm_tab.name_e.insert(0, "kv")
+            app.cm_tab.type_cb.set("KelvinVoigt")
+            app.cm_tab.type_select_change()
+            for p, v in (("eta", "105e11"), ("E", "10e9"), ("nu", "0.32")):
+                app.cm_tab.param_entries[p].insert(0, v)
+            app.cm_tab.add_or_update()
+            out = str(tmp_path / "case2.json")
+            assert app.save_to_file(out) == out
+            d = json.load(open(out))
+            assert d["time_settings"]["theta"] == 1.0
+            kv = d["constitutive_model"]["nonelastic"]["kv"]
+            assert kv["type"] == "KelvinVoigt"
+            assert kv["parameters"]["nu"] == 0.32
+            # BC tab edits flow into the builder
+            app.bc_tab.boundary_list.selection_set(0)
+            app.bc_tab.load_boundary_data()
+            app.bc_tab.type_cb.set("neumann")
+            app.bc_tab.values_text.delete("1.0", "end")
+            app.bc_tab.values_text.insert("1.0", "1e6 2e6 3e6")
+            app.bc_tab.apply()
+            nm = app.bc_tab.selected_boundary()
+            assert app.builder.data["boundary_conditions"][nm]["values"] == \
+                [1e6, 2e6, 3e6]
+        finally:
+            app.root.destroy()
