@@ -150,7 +150,12 @@ def build_preconditioner(kern, C, mask, settings: SolverSettings):
     local = hasattr(kern, "_scat_perm")   # unsharded kernel => global view
     mode = settings.precond
     if mode == "auto":
-        mode = ("dense" if local and 3 * kern.n_nodes <=
+        # the dense inverse is an accelerator design (one MXU matvec per
+        # apply, O(n^3) f32 build amortized on the matrix units); on the
+        # CPU backend that build costs minutes at cavern scale, while the
+        # 2-level scheme is a few percent as expensive and plenty strong
+        on_accel = jax.default_backend() != "cpu"
+        mode = ("dense" if local and on_accel and 3 * kern.n_nodes <=
                 settings.dense_max_dofs else "2level")
 
     if mode == "dense" and local:
