@@ -211,9 +211,7 @@ def bench_tm(eq, n_steps=5):
         heat.solve(t, dt)
         eq.set_T(heat.get_T_elems())
         ite, err = eq.solve_time_step(t, dt, tol=1e-6, maxiter=20)
-        eq.update_internal_variables()
-        eq.update_eps_ne_rate_old()
-        eq.update_eps_ne_old(eq.sig_v, eq._last_sv_k, dt)
+        eq.commit_time_step(dt)
     _jax.block_until_ready(eq.u)
     per = (time.time() - t0) / n_steps
     log(f"TM config: {per*1000:.1f} ms/step over {n_steps} steps "
@@ -249,9 +247,7 @@ def main():
     jax.block_until_ready(eq.u)
     log(f"first fused step (incl. compile): {time.time()-t0:.2f}s, "
         f"iters={ite}, err={err:.2e}, krylov_total={eq.krylov_total}")
-    eq.update_internal_variables()
-    eq.update_eps_ne_rate_old()
-    eq.update_eps_ne_old(eq.sig_v, eq._last_sv_k, dt)
+    eq.commit_time_step(dt)
 
     n_steps = 20
     iters_total = 0
@@ -262,9 +258,7 @@ def main():
         ite, err = eq.solve_time_step(t, dt, tol=1e-8, maxiter=40)
         iters_total += ite
         kry_total += eq.krylov_total
-        eq.update_internal_variables()
-        eq.update_eps_ne_rate_old()
-        eq.update_eps_ne_old(eq.sig_v, eq._last_sv_k, dt)
+        eq.commit_time_step(dt)
     jax.block_until_ready(eq.u)
     elapsed = time.time() - t0
     per_step = elapsed / n_steps

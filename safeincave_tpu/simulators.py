@@ -152,9 +152,9 @@ class Simulator_M(Simulator):
                         stress_k = stress_backup
 
             if step_converged:
-                eq.update_internal_variables()
-                eq.update_eps_ne_rate_old()
-                eq.update_eps_ne_old(stress, stress_k, dt_current)
+                # fused single-dispatch commit (== update_internal_variables
+                # + update_eps_ne_rate_old + update_eps_ne_old)
+                eq.commit_time_step(dt_current, stress, stress_k)
 
             self._save_derived_and_outputs(t)
             if self.metrics is not None:
@@ -329,9 +329,7 @@ class Simulator_TM(Simulator):
             eps_tot = eq.eps_tot_v
             stress_k = eq._last_sv_k
 
-            eq.update_internal_variables()
-            eq.update_eps_ne_rate_old()
-            eq.update_eps_ne_old(stress, stress_k, dt)
+            eq.commit_time_step(dt, stress, stress_k)
 
             self._save_derived_and_outputs(t)
             current_time = "%.3f" % (t / tc.time_conversion)
