@@ -477,17 +477,20 @@ class LinearMomentum(LinearMomentumBase):
         self._jit_solve = None
         self._jit_step = None
         self._jit_step_key = None
+        self._jit_msteps = None
         self._precond = None
 
     def set_solver(self, solver):
         super().set_solver(solver)
         self._jit_solve = None
         self._jit_step = None
+        self._jit_msteps = None
         self._precond = None
 
     def set_boundary_conditions(self, bc):
         super().set_boundary_conditions(bc)
         self._jit_step = None
+        self._jit_msteps = None
         self._precond = None
 
     def initialize(self):
@@ -579,38 +582,36 @@ class LinearMomentum(LinearMomentumBase):
     # ------------------------------------------------------------------ #
     # Fused jitted time step (fast path)
     # ------------------------------------------------------------------ #
-    def _build_jit_step(self):
-        """One full fixed-point solve of a time step as a single XLA program.
-
-        Implements the inner loop of reference Simulators.py:404-438:
+    def _make_fp(self):
+        """Closure running ONE time step's full fixed-point iteration
+        (the inner loop of reference Simulators.py:404-438) on device:
         tangent -> CT -> eps_rhs -> assemble -> Krylov -> strain -> stress ->
-        ISV increment -> rates -> strain-change error, iterated in
-        ``lax.while_loop`` until tol/maxiter/NaN.
+        ISV increment -> rates -> strain-change error, in ``lax.while_loop``
+        until tol/maxiter/NaN.  Shared by the single-step program
+        (:meth:`_build_jit_step`) and the fused multi-step driver
+        (:meth:`_build_jit_msteps`).
+
+        Returns ``fp(states, sv, eps_v, u0, b_ext, mask, u_bc, eps_th, Temp,
+        dt, tol, maxiter, enabled, P) -> (states, sv, eps_v, u, sv_k, ite,
+        err, (kry_tot, kry_last, lin_res))``.  ``enabled=False`` makes the
+        whole call inert (zero iterations - used to skip the remainder of a
+        fused chunk after a non-converged step).
         """
         mat = self.mat
-        bc = self.bc
         kern = self.kernel
         theta = self.theta
         elems_ne = list(mat.elems_ne)
-        elems_th = list(mat.elems_th)
         trivial_error = (theta == 1.0) or (len(elems_ne) == 0)
         adaptive = self.solver.adaptive_rtol
         _, apply_M = self._get_precond()
         solve_lin = _make_masked_solver(
             kern, self.solver, apply_M,
-            zero_dirichlet=getattr(bc, "all_zero_dirichlet", False))
+            zero_dirichlet=getattr(self.bc, "all_zero_dirichlet", False))
         rtol_floor = self.solver.rtol
         w_err = jnp.asarray([1., 1., 1., 2., 2., 2.])
 
-        @jax.jit
-        def _step(states, sv, eps_v, u, b_body, Temp, T0, t, dt, tol,
-                  maxiter, P):
-            mask, u_bc = bc.dirichlet_arrays(t)
-            b_ext = b_body + bc.neumann_rhs(t)
-
-            eps_th = jnp.zeros((kern.n_elems, 6), dtype=jnp.float64)
-            for th in elems_th:
-                eps_th = eps_th + th.eps_th_voigt(Temp - T0)
+        def fp(states, sv, eps_v, u, b_ext, mask, u_bc, eps_th, Temp, dt,
+               tol, maxiter, enabled, P):
 
             def body(carry):
                 states, sv, eps_v, u, _, ite, err_prev, stats, was_tight = \
@@ -672,9 +673,9 @@ class LinearMomentum(LinearMomentumBase):
 
             def cond(carry):
                 *_, ite, err, stats, was_tight = carry
-                return ((((err > tol) | (~was_tight)) & (ite < maxiter)
-                         & jnp.isfinite(err))
-                        | (ite == 0))
+                return (((((err > tol) | (~was_tight)) & (ite < maxiter)
+                          & jnp.isfinite(err))
+                         | (ite == 0)) & enabled)
 
             init = (states, sv, eps_v, u, sv,
                     jnp.asarray(0, dtype=jnp.int64),
@@ -684,7 +685,29 @@ class LinearMomentum(LinearMomentumBase):
                      jnp.asarray(0.0, dtype=jnp.float64)),
                     jnp.asarray(False))
             out = jax.lax.while_loop(cond, body, init)
-            states_f, sv_f, eps_f, u_f, sv_k_f, ite, err, stats = out[:8]
+            return out[:8]
+
+        return fp
+
+    def _build_jit_step(self):
+        """One full fixed-point time-step solve as a single XLA program."""
+        bc = self.bc
+        kern = self.kernel
+        elems_th = list(self.mat.elems_th)
+        fp = self._make_fp()
+
+        @jax.jit
+        def _step(states, sv, eps_v, u, b_body, Temp, T0, t, dt, tol,
+                  maxiter, P):
+            mask, u_bc = bc.dirichlet_arrays(t)
+            b_ext = b_body + bc.neumann_rhs(t)
+            eps_th = jnp.zeros((kern.n_elems, 6), dtype=jnp.float64)
+            for th in elems_th:
+                eps_th = eps_th + th.eps_th_voigt(Temp - T0)
+
+            (states_f, sv_f, eps_f, u_f, sv_k_f, ite, err, stats) = fp(
+                states, sv, eps_v, u, b_ext, mask, u_bc, eps_th, Temp, dt,
+                tol, maxiter, jnp.asarray(True), P)
             kry_tot, kry_last, lin_res = stats
             # one packed stats vector => ONE device->host transfer per step.
             # Each individual int()/float() costs a full host<->device round
@@ -696,6 +719,90 @@ class LinearMomentum(LinearMomentumBase):
             return states_f, sv_f, eps_f, u_f, sv_k_f, statsvec
 
         return _step
+
+    def _build_jit_msteps(self):
+        """Fused multi-step driver: K time steps in ONE device dispatch.
+
+        The TPU-native answer to per-step host control: through a tunneled
+        accelerator each dispatch costs ~20 ms and each sync ~30 ms, so a
+        production run that only needs host attention at output/checkpoint
+        boundaries should advance many steps per program.  Semantics per step
+        are identical to ``solve_time_step`` + ``commit_time_step`` with the
+        reference's commit-only-if-converged guard (Simulators.py:505-517):
+
+        * each step runs the full fixed-point iteration, then commits its
+          ISVs device-side IFF it converged;
+        * on the first non-converged step the chunk goes inert: the carry
+          keeps that step's ENTRY state (exactly the dt-retry restore point,
+          reference Simulators.py:441-503) and all later steps are skipped
+          (their while-loops run zero iterations);
+        * per-step stats [iters, err, krylov_total, krylov_last, lin_res,
+          converged] are stacked and fetched with one transfer.
+        """
+        bc = self.bc
+        kern = self.kernel
+        theta = self.theta
+        elems_ne = list(self.mat.elems_ne)
+        elems_th = list(self.mat.elems_th)
+        fp = self._make_fp()
+
+        def commit(states, sv, sv_k, dt):
+            out = []
+            for e, st in zip(elems_ne, states):
+                st = e.f_commit_isv(st)
+                st = e.f_rate_to_old(st)
+                st = e.f_update_eps_old(st, sv, sv_k, dt * (1 - theta))
+                out.append(st)
+            return out
+
+        @jax.jit
+        def _msteps(states, sv, eps_v, u, u_prev, b_body, Temp, T0, ts, dts,
+                    n_real, tol, maxiter, P):
+            eps_th = jnp.zeros((kern.n_elems, 6), dtype=jnp.float64)
+            for th in elems_th:
+                eps_th = eps_th + th.eps_th_voigt(Temp - T0)
+
+            def one_step(carry, t_dt_i):
+                states, sv, eps_v, u, u_prev, failed = carry
+                t, dt, i = t_dt_i
+                # steps beyond n_real are padding (chunks are padded to one
+                # canonical length so every chunk size shares ONE compiled
+                # program - the scan length is baked into the executable)
+                active = (~failed) & (i < n_real)
+                mask, u_bc = bc.dirichlet_arrays(t)
+                b_ext = b_body + bc.neumann_rhs(t)
+                # Krylov initial guess: linear time extrapolation from the
+                # previous committed step (matches solve_time_step's host
+                # logic; only the solver x0, never accuracy)
+                x0 = u + (u - u_prev)
+                (st_n, sv_n, eps_n, u_n, sv_k, ite, err, stats) = fp(
+                    states, sv, eps_v, x0, b_ext, mask, u_bc, eps_th, Temp,
+                    dt, tol, maxiter, active, P)
+                conv = active & jnp.isfinite(err) & (err <= tol)
+
+                def on_conv(_):
+                    return (commit(st_n, sv_n, sv_k, dt), sv_n, eps_n, u_n,
+                            u, failed)
+
+                def on_fail(_):
+                    # keep the step's ENTRY state: the dt-retry restore point
+                    return (states, sv, eps_v, u, u_prev, jnp.asarray(True))
+
+                new_carry = jax.lax.cond(conv, on_conv, on_fail, None)
+                kry_tot, kry_last, lin_res = stats
+                row = jnp.stack([ite.astype(jnp.float64), err,
+                                 kry_tot.astype(jnp.float64),
+                                 kry_last.astype(jnp.float64), lin_res,
+                                 conv.astype(jnp.float64)])
+                return new_carry, row
+
+            init = (states, sv, eps_v, u, u_prev, jnp.asarray(False))
+            idx = jnp.arange(ts.shape[0], dtype=jnp.int64)
+            carry, rows = jax.lax.scan(one_step, init, (ts, dts, idx))
+            states_f, sv_f, eps_f, u_f, u_prev_f, failed = carry
+            return states_f, sv_f, eps_f, u_f, u_prev_f, rows
+
+        return _msteps
 
     def commit_time_step(self, dt, stress=None, stress_k=None):
         """Fused commit phase of a converged step: ISV commit + rate_old
@@ -775,3 +882,68 @@ class LinearMomentum(LinearMomentumBase):
         self.solver_stats = (int(stats[3]), float(stats[4]))
         self.run_after_solve()
         return int(stats[0]), float(stats[1])
+
+    def solve_time_steps(self, ts, dts, tol=1e-8, maxiter=40):
+        """Advance up to ``len(ts)`` fused time steps in ONE device dispatch.
+
+        Each step runs the full fixed-point iteration and commits its ISVs
+        device-side iff it converged (reference commit-only-if-converged,
+        Simulators.py:505-517); on the first non-converged step the equation
+        state is left at that step's ENTRY (the dt-retry restore point) and
+        the remaining steps are skipped.  Use for spans where the host needs
+        no per-step attention (between output/checkpoint boundaries) - one
+        dispatch + one stats transfer replaces K of each.
+
+        Returns a ``(K, 6)`` float array with per-step rows
+        ``[iterations, error, krylov_total, krylov_last, lin_res, converged]``
+        (``converged`` is 0/1; after the first 0 all later rows are 0 and
+        those steps did not execute).
+        """
+        key = (id(self.mat), id(self.bc), self.solver.method,
+               self.solver.rtol, self.solver.max_it, self.solver.precision,
+               self.solver.precond, self.solver.coarse_agg,
+               self.solver.adaptive_rtol,
+               len(self.mat.elems_ne), len(self.mat.elems_th))
+        if self._jit_msteps is None or self._jit_step_key != key:
+            # keep the single-step cache in sync (shared key)
+            self._jit_step = self._build_jit_step()
+            self._jit_msteps = self._build_jit_msteps()
+            self._jit_step_key = key
+        states = [e.state for e in self.mat.elems_ne]
+        u_prev = getattr(self, "_u_last_step", None)
+        if u_prev is None:
+            u_prev = self.u
+        P, _ = self._get_precond()
+        # pad to a canonical length: the scan length is part of the compiled
+        # program, so without padding every distinct chunk size (truncated
+        # final chunks, save-boundary alignment) would recompile the whole
+        # multi-step program (minutes per size on TPU)
+        n_real = len(ts)
+        k_pad = max(64, -(-n_real // 64) * 64)
+        ts = np.concatenate([np.asarray(ts, dtype=np.float64),
+                             np.full(k_pad - n_real, ts[-1])])
+        dts = np.concatenate([np.asarray(dts, dtype=np.float64),
+                              np.full(k_pad - n_real, dts[-1])])
+        (states, sv, eps_v, u, u_prev_f, rows) = self._jit_msteps(
+            states, self.sig_v, self.eps_tot_v, self.u, u_prev, self.b_body,
+            self.Temp, self.T0, jnp.asarray(ts), jnp.asarray(dts),
+            n_real, tol, maxiter, P)
+        for e, st in zip(self.mat.elems_ne, states):
+            e.state = st
+        self.sig_v = sv
+        self.eps_tot_v = eps_v
+        self.u = u
+        self._u_last_step = u_prev_f
+        # the committed state IS the last converged state; sigma_k of the
+        # last converged step is not carried out of the fused program, and
+        # the commit already consumed it - keep sigma as the fallback for
+        # any caller that reads _last_sv_k afterwards
+        self._last_sv_k = sv
+        stats = np.asarray(rows)[:n_real]   # ONE host transfer for K steps
+        done = stats[:, 5] > 0.5
+        if done.any():
+            last = int(np.nonzero(done)[0][-1])
+            self.krylov_total = int(stats[last, 2])
+            self.solver_stats = (int(stats[last, 3]), float(stats[last, 4]))
+        self.run_after_solve()
+        return stats

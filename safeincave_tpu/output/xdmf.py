@@ -87,6 +87,24 @@ class SaveFields:
             arr = arr[:n_true]
         return arr
 
+    def calls_until_next_keep(self) -> int:
+        """How many ``save_fields`` calls until one actually writes (>= 1).
+
+        Lets the fused multi-step driver (Simulator_M) size device-side
+        chunks so every write still happens at exactly the step it would
+        have in the per-step flow."""
+        j = (1 - self._call_count) % self.save_every
+        return j if j else self.save_every
+
+    def skip_calls(self, k: int):
+        """Account ``k`` save calls whose steps ran fused on device (their
+        intermediate fields were never materialized).  Only valid for calls
+        that would NOT have written (the driver aligns chunks so keeps land
+        on real ``save_fields`` calls)."""
+        assert k < self.calls_until_next_keep(), \
+            "fused chunk crossed a save boundary"
+        self._call_count += k
+
     def save_fields(self, t: float):
         keep = (self._call_count % self.save_every == 0)
         self._call_count += 1

@@ -259,5 +259,6 @@ def shard_equation(eq, mesh: Mesh | None = None, axis: str = "e"):
     eq._jit_solve = None
     eq._jit_step = None
     eq._jit_step_key = None
+    eq._jit_msteps = None
     eq._precond = None
     return eq

@@ -43,7 +43,8 @@ class Simulator_M(Simulator):
                  compute_elastic_response: bool = True,
                  metrics: StepMetrics | None = None,
                  checkpoint_every: int = 0,
-                 checkpoint_path: str = "checkpoint.npz"):
+                 checkpoint_path: str = "checkpoint.npz",
+                 fused_steps: int | str = "auto"):
         self.eq_mom = eq_mom
         self.t_control = t_control
         self.outputs = outputs
@@ -51,6 +52,7 @@ class Simulator_M(Simulator):
         self.metrics = metrics
         self.checkpoint_every = checkpoint_every
         self.checkpoint_path = checkpoint_path
+        self.fused_steps = fused_steps
         ScreenPrinter.reset_instance()
         self.screen = ScreenPrinter(eq_mom.grid, eq_mom.solver, eq_mom.mat,
                                     outputs, t_control.time_unit)
@@ -59,6 +61,101 @@ class Simulator_M(Simulator):
     tol = 1e-8
     maxiter = 40
     max_dt_cuts = 3
+
+    # ------------------------------------------------------------------ #
+    def _plan_chunk_size(self) -> int:
+        """Steps to advance in ONE fused device dispatch.
+
+        Host attention is only needed at output/checkpoint boundaries
+        (field writes, dt-retry dispatching), so between boundaries the
+        time loop runs as a single jitted multi-step program
+        (eq.solve_time_steps) - through a tunneled TPU each per-step
+        dispatch + stats sync costs ~50 ms, dwarfing the ~6 ms of actual
+        step compute.  Chunking is semantically transparent: per-step
+        stats still surface, writes land on the same steps, and a
+        non-converged step hands back its entry state for the usual
+        dt-retry.  Returns 1 (the reference per-step flow) whenever
+        fusing would change observable behavior."""
+        cap = self.fused_steps
+        if cap == "auto":
+            cap = 64
+        if not cap or cap <= 1:
+            return 1
+        eq = self.eq_mom
+        if not hasattr(eq, "solve_time_steps"):
+            return 1
+        # user per-step extension hooks must keep firing per step
+        from .fem.momentum import LinearMomentumBase
+        if type(eq).run_after_solve is not LinearMomentumBase.run_after_solve:
+            return 1
+        # instance-level wrapping of the step (the nobian KSP-log idiom,
+        # reference Munsondawson.py:288-310) expects one call per step
+        if ("solve_time_step" in eq.__dict__
+                or "solve_time_steps" in eq.__dict__):
+            return 1
+        for output in self.outputs:
+            fn = getattr(output, "calls_until_next_keep", None)
+            if fn is None:
+                return 1
+            cap = min(cap, fn())
+        if self.checkpoint_every:
+            s0 = self.t_control.step_counter
+            cap = min(cap, self.checkpoint_every
+                      - s0 % self.checkpoint_every)
+        return max(int(cap), 1)
+
+    def _run_fused_chunk(self, chunk: int) -> bool:
+        """Advance up to ``chunk`` steps in one fused device dispatch.
+
+        Returns True when every planned step converged (outputs, metrics,
+        screen rows and checkpoints fully accounted).  Returns False when a
+        step failed: the equation then holds that step's ENTRY state and the
+        time controller is rewound so the caller's per-step dt-retry flow
+        re-attempts exactly that step (reference Simulators.py:441-503
+        semantics)."""
+        eq, tc = self.eq_mom, self.t_control
+        s0, t0 = tc.step_counter, tc.t
+        ts, dts = [], []
+        while tc.keep_looping() and len(ts) < chunk:
+            tc.advance_time()
+            ts.append(tc.t)
+            dts.append(tc.dt)
+        if not ts:
+            return True
+        stats = eq.solve_time_steps(ts, dts, tol=self.tol,
+                                    maxiter=self.maxiter)
+        conv = (stats[:, 5] > 0.5).astype(int)
+        n_ok = int(conv.cumprod().sum())     # converged prefix length
+        for k in range(n_ok):
+            step_no = s0 + 1 + k
+            if self.metrics is not None:
+                self.metrics.record(step_no, ts[k], dts[k],
+                                    int(stats[k, 0]), float(stats[k, 1]),
+                                    converged=True, dt_cuts=0,
+                                    krylov=int(stats[k, 3]),
+                                    krylov_total=int(stats[k, 2]),
+                                    lin_res=float(stats[k, 4]))
+            current_time = "%.3f" % (ts[k] / tc.time_conversion)
+            self.screen.print_row([
+                step_no, dts[k] / tc.time_conversion,
+                f"{current_time} / {tc.t_final / tc.time_conversion}",
+                int(stats[k, 0]), float(stats[k, 1]),
+            ])
+        if n_ok == len(ts):
+            for output in self.outputs:
+                output.skip_calls(n_ok - 1)
+            self._save_derived_and_outputs(ts[-1])
+            if (self.checkpoint_every
+                    and tc.step_counter % self.checkpoint_every == 0):
+                save_checkpoint(self.checkpoint_path, eq, tc)
+            return True
+        # failed at planned step n_ok: account its predecessors' save calls,
+        # rewind the controller to the failed step
+        for output in self.outputs:
+            output.skip_calls(n_ok)
+        tc.step_counter = s0 + n_ok
+        tc.t = ts[n_ok - 1] if n_ok else t0
+        return False
 
     def run(self):
         eq = self.eq_mom
@@ -90,6 +187,17 @@ class Simulator_M(Simulator):
             self._save_derived_and_outputs(0.0)
 
         while tc.keep_looping():
+            chunk = self._plan_chunk_size()
+            if chunk > 1:
+                all_converged = self._run_fused_chunk(chunk)
+                # on failure eq holds the failed step's ENTRY state - refresh
+                # the locals so the retry path backs up the right state
+                stress = eq.sig_v
+                eps_tot = eq.eps_tot_v
+                if all_converged:
+                    continue
+            # chunk of 1, or a fused step failed to converge (tc rewound to
+            # it): run the reference per-step flow with dt-halving retry
             tc.advance_time()
             t, dt = tc.t, tc.dt
 
