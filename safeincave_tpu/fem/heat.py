@@ -58,18 +58,18 @@ class HeatDiffusion:
         """Project nodal T to DG0 (vertex average), reference :286-301."""
         return self.kernel.nodes_to_elems(self.T)
 
-    def _build_jit_step(self):
-        """The whole implicit heat step as one jitted program (BC arrays,
-        assembly, Jacobi-CG).  Mixed precision like the momentum solve:
-        f32 CG iterations under f64 defect correction (fem/solvers.ir_solve);
-        the Robin facet term is tiny and stays f64 inside the f32 operator.
+    def _make_step_core(self):
+        """Unjitted closure for one implicit heat step (BC arrays, assembly,
+        Jacobi-CG).  Mixed precision like the momentum solve: f32 CG
+        iterations under f64 defect correction (fem/solvers.ir_solve); the
+        Robin facet term is tiny and stays f64 inside the f32 operator.
+        Reused by the jitted single step and the fused TM multi-step driver.
         """
         kern = self.kernel
         bc = self.bc
         rtol, maxiter = self.solver.rtol, self.solver.max_it
         mixed = self.solver.precision == "mixed"
 
-        @jax.jit
         def _step(T, T_old, k, rho, cp, t, dt):
             mask, T_bc = bc.dirichlet_arrays(t)
             b_neumann = bc.neumann_rhs(t)
@@ -109,6 +109,17 @@ class HeatDiffusion:
 
         return _step
 
+    def _build_jit_step(self):
+        core = self._make_step_core()
+
+        @jax.jit
+        def _step(T, T_old, k, rho, cp, t, dt):
+            x, iters, res = core(T, T_old, k, rho, cp, t, dt)
+            # packed stats: one device->host transfer per step
+            return x, jnp.stack([iters.astype(jnp.float64), res])
+
+        return _step
+
     def solve(self, t, dt):
         """Assemble and solve one implicit step (reference :304-365)."""
         key = (id(self.bc), self.solver.rtol, self.solver.max_it,
@@ -116,8 +127,60 @@ class HeatDiffusion:
         if getattr(self, "_jit_step_key", None) != key:
             self._jit_step = self._build_jit_step()
             self._jit_step_key = key
-        x, iters, res = self._jit_step(self.T, self.T_old, self.k, self.rho,
-                                       self.cp, t, dt)
-        self.solver_stats = (int(iters), float(res))
+        x, statsvec = self._jit_step(self.T, self.T_old, self.k, self.rho,
+                                     self.cp, t, dt)
+        stats = np.asarray(statsvec)
+        self.solver_stats = (int(stats[0]), float(stats[1]))
         self.T = x
         self.update_T_old()
+
+    def solve_steps(self, ts, dts):
+        """Advance len(ts) implicit heat steps in ONE device dispatch
+        (lax.scan over the jitted step; chunks padded to a canonical length
+        so all sizes share one executable).  Returns (K, 2) per-step
+        [cg_iters, residual]."""
+        key = (id(self.bc), self.solver.rtol, self.solver.max_it,
+               self.solver.precision, "msteps")
+        if getattr(self, "_jit_msteps_key", None) != key:
+            core = self._make_step_core()
+
+            @jax.jit
+            def _msteps(T, T_old, k, rho, cp, ts, dts, n_real):
+                def one(carry, tdi):
+                    T, T_old = carry
+                    t, dt, i = tdi
+                    active = i < n_real
+
+                    def run(_):
+                        x, iters, res = core(T, T_old, k, rho, cp, t, dt)
+                        return (x, x), jnp.stack(
+                            [iters.astype(jnp.float64), res])
+
+                    def skip(_):
+                        return (T, T_old), jnp.zeros(2)
+
+                    return jax.lax.cond(active, run, skip, None)
+
+                idx = jnp.arange(ts.shape[0], dtype=jnp.int64)
+                (T_f, T_old_f), rows = jax.lax.scan(one, (T, T_old),
+                                                    (ts, dts, idx))
+                return T_f, T_old_f, rows
+
+            self._jit_msteps = _msteps
+            self._jit_msteps_key = key
+        n_real = len(ts)
+        k_pad = max(64, -(-n_real // 64) * 64)
+        ts = np.concatenate([np.asarray(ts, dtype=np.float64),
+                             np.full(k_pad - n_real, ts[-1])])
+        dts = np.concatenate([np.asarray(dts, dtype=np.float64),
+                              np.full(k_pad - n_real, dts[-1])])
+        T, T_old, rows = self._jit_msteps(self.T, self.T_old, self.k,
+                                          self.rho, self.cp,
+                                          jnp.asarray(ts), jnp.asarray(dts),
+                                          n_real)
+        self.T = T
+        self.T_old = T_old
+        stats = np.asarray(rows)[:n_real]
+        if n_real:
+            self.solver_stats = (int(stats[-1, 0]), float(stats[-1, 1]))
+        return stats

@@ -804,6 +804,132 @@ class LinearMomentum(LinearMomentumBase):
 
         return _msteps
 
+    def _build_jit_tm_msteps(self, heat):
+        """Fused coupled thermo-mechanical multi-step driver.
+
+        One scanned program per chunk: implicit heat step -> nodal-to-DG0
+        temperature coupling -> momentum fixed-point iteration -> ISV commit
+        (reference Simulator_TM order, Simulators.py:177-265; the reference
+        TM loop commits unconditionally - no dt-retry - and so does this).
+        Index masking pads chunks to one canonical length (see
+        _build_jit_msteps).
+        """
+        bc = self.bc
+        kern = self.kernel
+        hkern = heat.kernel
+        theta = self.theta
+        elems_ne = list(self.mat.elems_ne)
+        elems_th = list(self.mat.elems_th)
+        fp = self._make_fp()
+        hstep = heat._make_step_core()
+
+        def commit(states, sv, sv_k, dt):
+            out = []
+            for e, st in zip(elems_ne, states):
+                st = e.f_commit_isv(st)
+                st = e.f_rate_to_old(st)
+                st = e.f_update_eps_old(st, sv, sv_k, dt * (1 - theta))
+                out.append(st)
+            return out
+
+        @jax.jit
+        def _tm(states, sv, eps_v, u, u_prev, b_body, T, T_old, hk, hrho,
+                hcp, T0, ts, dts, n_real, tol, maxiter, P):
+            def one(carry, tdi):
+                states, sv, eps_v, u, u_prev, T, T_old = carry
+                t, dt, i = tdi
+                active = i < n_real
+
+                def run_heat(_):
+                    x, it, res = hstep(T, T_old, hk, hrho, hcp, t, dt)
+                    return x, it.astype(jnp.float64), res
+
+                def skip_heat(_):
+                    return T, jnp.asarray(0.0), jnp.asarray(0.0)
+
+                T_new, h_it, h_res = jax.lax.cond(active, run_heat,
+                                                  skip_heat, None)
+                Temp = hkern.nodes_to_elems(T_new)
+                eps_th = jnp.zeros((kern.n_elems, 6), dtype=jnp.float64)
+                for th in elems_th:
+                    eps_th = eps_th + th.eps_th_voigt(Temp - T0)
+                mask, u_bc = bc.dirichlet_arrays(t)
+                b_ext = b_body + bc.neumann_rhs(t)
+                x0 = u + (u - u_prev)
+                (st_n, sv_n, eps_n, u_n, sv_k, ite, err, stats) = fp(
+                    states, sv, eps_v, x0, b_ext, mask, u_bc, eps_th, Temp,
+                    dt, tol, maxiter, active, P)
+
+                def on_active(_):
+                    return (commit(st_n, sv_n, sv_k, dt), sv_n, eps_n, u_n,
+                            u, T_new, T_new)
+
+                def on_inert(_):
+                    return (states, sv, eps_v, u, u_prev, T, T_old)
+
+                new_carry = jax.lax.cond(active, on_active, on_inert, None)
+                kry_tot, _, _ = stats
+                row = jnp.stack([h_it, h_res, ite.astype(jnp.float64), err,
+                                 kry_tot.astype(jnp.float64),
+                                 active.astype(jnp.float64)])
+                return new_carry, row
+
+            idx = jnp.arange(ts.shape[0], dtype=jnp.int64)
+            init = (states, sv, eps_v, u, u_prev, T, T_old)
+            carry, rows = jax.lax.scan(one, init, (ts, dts, idx))
+            return carry, rows
+
+        return _tm
+
+    def solve_tm_time_steps(self, heat, ts, dts, tol=1e-6, maxiter=20):
+        """Advance len(ts) coupled TM steps (heat + momentum + commit) in
+        ONE device dispatch.  Mutates this equation AND ``heat``.  Returns a
+        (K, 6) array of per-step rows
+        ``[heat_iters, heat_res, fp_iters, error, krylov_total, ran]``.
+        """
+        key = (id(self.mat), id(self.bc), self.solver.method,
+               self.solver.rtol, self.solver.max_it, self.solver.precision,
+               self.solver.precond, self.solver.coarse_agg,
+               self.solver.adaptive_rtol, len(self.mat.elems_ne),
+               len(self.mat.elems_th), id(heat), id(heat.bc),
+               heat.solver.rtol, heat.solver.max_it, heat.solver.precision)
+        if getattr(self, "_jit_tm_msteps", None) is None or \
+                self._jit_tm_key != key:
+            self._jit_tm_msteps = self._build_jit_tm_msteps(heat)
+            self._jit_tm_key = key
+        states = [e.state for e in self.mat.elems_ne]
+        u_prev = getattr(self, "_u_last_step", None)
+        if u_prev is None:
+            u_prev = self.u
+        P, _ = self._get_precond()
+        n_real = len(ts)
+        k_pad = max(64, -(-n_real // 64) * 64)
+        ts = np.concatenate([np.asarray(ts, dtype=np.float64),
+                             np.full(k_pad - n_real, ts[-1])])
+        dts = np.concatenate([np.asarray(dts, dtype=np.float64),
+                              np.full(k_pad - n_real, dts[-1])])
+        carry, rows = self._jit_tm_msteps(
+            states, self.sig_v, self.eps_tot_v, self.u, u_prev, self.b_body,
+            heat.T, heat.T_old, heat.k, heat.rho, heat.cp, self.T0,
+            jnp.asarray(ts), jnp.asarray(dts), n_real, tol, maxiter, P)
+        states, sv, eps_v, u, u_prev_f, T, T_old = carry
+        for e, st in zip(self.mat.elems_ne, states):
+            e.state = st
+        self.sig_v = sv
+        self.eps_tot_v = eps_v
+        self.u = u
+        self._u_last_step = u_prev_f
+        self._last_sv_k = sv
+        heat.T = T
+        heat.T_old = T_old
+        self.Temp = heat.get_T_elems()
+        stats = np.asarray(rows)[:n_real]   # one transfer for the chunk
+        if n_real:
+            heat.solver_stats = (int(stats[-1, 0]), float(stats[-1, 1]))
+            self.krylov_total = int(stats[-1, 4])
+        self.run_after_solve()
+        return stats
+
     def commit_time_step(self, dt, stress=None, stress_k=None):
         """Fused commit phase of a converged step: ISV commit + rate_old
         rollover + inelastic-strain corrector as ONE jitted program.

@@ -341,13 +341,29 @@ class Simulator_T(Simulator):
     """Thermal-only driver (reference :544-639)."""
 
     def __init__(self, eq_heat, t_control, outputs,
-                 compute_elastic_response: bool = True):
+                 compute_elastic_response: bool = True,
+                 fused_steps: int | str = "auto"):
         self.eq_heat = eq_heat
         self.t_control = t_control
         self.outputs = outputs
+        self.fused_steps = fused_steps
         ScreenPrinter.reset_instance()
         self.screen = ScreenPrinter(eq_heat.grid, eq_heat.solver, eq_heat.mat,
                                     outputs, t_control.time_unit)
+
+    def _plan_chunk_size(self) -> int:
+        cap = 64 if self.fused_steps == "auto" else self.fused_steps
+        if not cap or cap <= 1:
+            return 1
+        heat = self.eq_heat
+        if not hasattr(heat, "solve_steps") or "solve" in heat.__dict__:
+            return 1
+        for output in self.outputs:
+            fn = getattr(output, "calls_until_next_keep", None)
+            if fn is None:
+                return 1
+            cap = min(cap, fn())
+        return max(int(cap), 1)
 
     def run(self):
         tc = self.t_control
@@ -357,6 +373,27 @@ class Simulator_T(Simulator):
             output.save_fields(0)
 
         while tc.keep_looping():
+            chunk = self._plan_chunk_size()
+            if chunk > 1:
+                s0 = tc.step_counter
+                ts, dts = [], []
+                while tc.keep_looping() and len(ts) < chunk:
+                    tc.advance_time()
+                    ts.append(tc.t)
+                    dts.append(tc.dt)
+                self.eq_heat.solve_steps(ts, dts)
+                for k in range(len(ts)):
+                    current_time = "%.3f" % (ts[k] / tc.time_conversion)
+                    self.screen.print_row([
+                        s0 + 1 + k, dts[k] / tc.time_conversion,
+                        f"{current_time} / "
+                        f"{tc.t_final / tc.time_conversion}", 0, 0,
+                    ])
+                for output in self.outputs:
+                    output.skip_calls(len(ts) - 1)
+                for output in self.outputs:
+                    output.save_fields(ts[-1])
+                continue
             tc.advance_time()
             t, dt = tc.t, tc.dt
             self.eq_heat.solve(t, dt)
@@ -380,15 +417,68 @@ class Simulator_TM(Simulator):
     maxiter = 20
 
     def __init__(self, eq_mom, eq_heat, t_control, outputs,
-                 compute_elastic_response: bool = True):
+                 compute_elastic_response: bool = True,
+                 fused_steps: int | str = "auto"):
         self.eq_mom = eq_mom
         self.eq_heat = eq_heat
         self.t_control = t_control
         self.outputs = outputs
         self.compute_elastic_response = compute_elastic_response
+        self.fused_steps = fused_steps
         ScreenPrinter.reset_instance()
         self.screen = ScreenPrinter(eq_mom.grid, eq_mom.solver, eq_mom.mat,
                                     outputs, t_control.time_unit)
+
+    # ------------------------------------------------------------------ #
+    def _plan_chunk_size(self) -> int:
+        """Steps per fused TM dispatch (see Simulator_M._plan_chunk_size;
+        the TM loop has no dt-retry, so a chunk is always fully committed -
+        reference Simulators.py:177-265 semantics)."""
+        cap = self.fused_steps
+        if cap == "auto":
+            cap = 64
+        if not cap or cap <= 1:
+            return 1
+        eq, heat = self.eq_mom, self.eq_heat
+        if not hasattr(eq, "solve_tm_time_steps"):
+            return 1
+        from .fem.momentum import LinearMomentumBase
+        if type(eq).run_after_solve is not LinearMomentumBase.run_after_solve:
+            return 1
+        if ("solve_time_step" in eq.__dict__
+                or "solve_tm_time_steps" in eq.__dict__
+                or "solve" in heat.__dict__):
+            return 1
+        for output in self.outputs:
+            fn = getattr(output, "calls_until_next_keep", None)
+            if fn is None:
+                return 1
+            cap = min(cap, fn())
+        return max(int(cap), 1)
+
+    def _run_fused_chunk(self, chunk: int) -> bool:
+        eq, heat, tc = self.eq_mom, self.eq_heat, self.t_control
+        s0 = tc.step_counter
+        ts, dts = [], []
+        while tc.keep_looping() and len(ts) < chunk:
+            tc.advance_time()
+            ts.append(tc.t)
+            dts.append(tc.dt)
+        if not ts:
+            return True
+        stats = eq.solve_tm_time_steps(heat, ts, dts, tol=self.tol,
+                                       maxiter=self.maxiter)
+        for k in range(len(ts)):
+            current_time = "%.3f" % (ts[k] / tc.time_conversion)
+            self.screen.print_row([
+                s0 + 1 + k, dts[k] / tc.time_conversion,
+                f"{current_time} / {tc.t_final / tc.time_conversion}",
+                int(stats[k, 2]), float(stats[k, 3]),
+            ])
+        for output in self.outputs:
+            output.skip_calls(len(ts) - 1)
+        self._save_derived_and_outputs(ts[-1])
+        return True
 
     def run(self):
         eq = self.eq_mom
@@ -422,6 +512,9 @@ class Simulator_TM(Simulator):
         self._save_derived_and_outputs(0.0)
 
         while tc.keep_looping():
+            chunk = self._plan_chunk_size()
+            if chunk > 1 and self._run_fused_chunk(chunk):
+                continue
             tc.advance_time()
             t, dt = tc.t, tc.dt
 

@@ -153,6 +153,58 @@ class TestFusedSimulator:
         h5.close()
         return np.asarray(eq.u), series, tc.step_counter
 
+    def _run_tm(self, tmp_path, fused, sub):
+        import h5py
+        import safeincave_tpu as sc
+        heatBC = sc.HeatBC
+
+        eq = _build()
+        n = eq.n_elems
+        one = np.ones(n)
+        mat = eq.mat
+        mat.set_specific_heat_capacity(850.0 * one)
+        mat.set_thermal_conductivity(7.0 * one)
+        mat.add_to_thermoelastic(sc.Thermoelastic(44e-6 * one))
+        heat = sc.HeatDiffusion(eq.grid)
+        heat.set_solver(sc.SolverSettings(method="cg", rtol=1e-12,
+                                          max_it=200, precision="f64"))
+        heat.set_material(mat)
+        heat.set_initial_T(298.0 * np.ones(eq.grid.n_nodes))
+        bc_h = heatBC.BcHandler(heat)
+        tv = [0.0, 1e9]
+        bc_h.add_boundary_condition(heatBC.DirichletBC("TOP", [308., 308.],
+                                                       tv))
+        bc_h.add_boundary_condition(heatBC.RobinBC("BOTTOM", [288., 288.],
+                                                   5.0, tv))
+        heat.set_boundary_conditions(bc_h)
+        eq._jit_step = None   # material gained a thermoelastic element
+
+        out = sc.SaveFields(eq, save_every=3)
+        out.set_output_folder(str(tmp_path / sub))
+        out.add_output_field("u", "Displacement (m)")
+        tc = sc.TimeController(dt=1.0, initial_time=0.0, final_time=7.0,
+                               time_unit="hour")
+        sim = sc.Simulator_TM(eq, heat, tc, [out],
+                              compute_elastic_response=False,
+                              fused_steps=fused)
+        sim.run()
+        h5 = h5py.File(tmp_path / sub / "u" / "u.h5", "r")
+        series = sorted(h5["Function/u"])
+        h5.close()
+        return (np.asarray(eq.u), np.asarray(heat.T),
+                np.asarray(eq.sig_v), series)
+
+    def test_tm_fused_matches_per_step_flow(self, tmp_path):
+        u_ref, T_ref, s_ref, ser_ref = self._run_tm(tmp_path, 1, "tm_ref")
+        u_fus, T_fus, s_fus, ser_fus = self._run_tm(tmp_path, "auto",
+                                                    "tm_fused")
+        assert ser_ref == ser_fus
+        for a, b, nm in ((u_ref, u_fus, "u"), (T_ref, T_fus, "T"),
+                         (s_ref, s_fus, "sig")):
+            scale = max(np.abs(a).max(), 1e-300)
+            np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-9 * scale,
+                                       err_msg=nm)
+
     def test_fused_matches_per_step_flow(self, tmp_path):
         u_ref, series_ref, steps_ref = self._run(tmp_path, 1, "per_step")
         u_fus, series_fus, steps_fus = self._run(tmp_path, "auto", "fused")
