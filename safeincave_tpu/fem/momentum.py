@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..linalg import inv3x3
-from ..utils import voigt_to_tensor
+from ..utils import VOIGT_WEIGHT, voigt_to_tensor
 from ..materials.base import _as_voigt
 from .kernels import MomentumKernel
 from .solvers import cg_solve, bicgstab_solve, ir_solve
@@ -68,6 +68,23 @@ class SolverSettings:
     # + ISV work, so the default is the reference's always-tight semantics
     # (PETSc rtol=1e-12 every iteration, Simulators.py:1075-1086).
     adaptive_rtol: bool = False
+    # fp32_phase="auto" runs the EARLY fixed-point iterations of each time
+    # step entirely in float32 (tangents, assembly, Krylov, stress/ISV
+    # updates) while the strain-change error is above fp32_switch, then
+    # finishes in float64.  Convergence is only ever declared after a
+    # float64 iteration with a full-rtol solve, so converged states satisfy
+    # the same f64 criterion as the pure-f64 path; the f32 sweep only
+    # shortens the road there.  "auto" enables it on accelerators (f64 is
+    # software-emulated on TPU) and disables it on CPU (native f64; also
+    # keeps trajectories bit-comparable to the reference for the golden
+    # tests).  Set True/False to force.
+    fp32_phase: object = "auto"
+    fp32_switch: float = 1e-4
+
+    def fp32_enabled(self) -> bool:
+        if self.fp32_phase == "auto":
+            return jax.default_backend() != "cpu"
+        return bool(self.fp32_phase)
 
     def solve_fn(self):
         return cg_solve if self.method == "cg" else bicgstab_solve
@@ -609,9 +626,175 @@ class LinearMomentum(LinearMomentumBase):
             zero_dirichlet=getattr(self.bc, "all_zero_dirichlet", False))
         rtol_floor = self.solver.rtol
         w_err = jnp.asarray([1., 1., 1., 2., 2., 2.])
+        use_fp32 = (not trivial_error) and self.solver.fp32_enabled()
+        fp32_switch = self.solver.fp32_switch
+        solve_raw = self.solver.solve_fn()
+        max_it = self.solver.max_it
+        inner_rtol = self.solver.inner_rtol
+        zero_dir = getattr(self.bc, "all_zero_dirichlet", False)
+
+        def _phase32(states, sv, eps_v, u, b_ext, mask, u_bc, eps_th, Temp,
+                     dt, maxiter, enabled, P):
+            """f32 sweep of the fixed-point iteration while the strain-change
+            error is above ``fp32_switch``.  Same update sequence as the f64
+            body; the materials layer computes natively in f32 (see
+            materials/base._p).  Exits leaving at least one iteration of
+            budget for the mandatory f64 finish."""
+            f32 = jnp.float32
+
+            def dn(tree):
+                return jax.tree_util.tree_map(
+                    lambda a: a.astype(f32)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+
+            def up(tree):
+                return jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.float64)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+
+            b32, mask32, ubc32 = b_ext.astype(f32), mask.astype(f32), \
+                u_bc.astype(f32)
+            eps_th32, Temp32 = eps_th.astype(f32), Temp.astype(f32)
+            # dt arrives as a traced f64 scalar; multiplying it into the f32
+            # body would silently promote everything back to f64
+            dt = jnp.asarray(dt).astype(f32)
+
+            def solve32(CT, b, x0, rtol):
+                def Aop(x):
+                    return (mask32 * kern.matvec(CT, mask32 * x)
+                            + (1.0 - mask32) * x)
+
+                def M_inv(r):
+                    return apply_M(P, r, mask32)
+
+                if zero_dir:
+                    b_eff = mask32 * b
+                else:
+                    b_eff = (mask32 * (b - kern.matvec(CT, ubc32))
+                             + (1.0 - mask32) * ubc32)
+                return solve_raw(Aop, b_eff, x0, M_inv, rtol=rtol,
+                                 maxiter=max_it)
+
+            def body(carry):
+                states, sv, eps_v, u, ite, err_prev, stats, _ = carry
+                sv_k = sv
+                new_states, G, B6 = mat.f_tangent_all(states, sv_k, Temp32,
+                                                      dt, theta)
+                CT = kern.prep(mat.f_CT(G, dt, theta))
+                eps_ne_k = jnp.zeros_like(eps_th32)
+                states2 = []
+                for e, st in zip(elems_ne, new_states):
+                    st = e.f_eps_k(st, dt * theta, dt * (1 - theta))
+                    eps_ne_k = eps_ne_k + st["eps_k"]
+                    states2.append(st)
+                G_sk = kern.apply66(kern.prep(G), sv_k)
+                eps_rhs = (eps_ne_k + eps_th32
+                           - dt * (1 - theta) * (B6 + G_sk))
+                # floor at the documented f32-achievable target
+                # (settings.inner_rtol): asking BiCGStab for a residual
+                # below the f32 matvec noise floor (~3e-6 from the cumsum
+                # assembly) makes it churn to max_it without converging
+                lin_rtol = jnp.clip(0.05 * err_prev, inner_rtol,
+                                    1e-2).astype(f32)
+                b = b32 + kern.internal_force(kern.apply66(CT, eps_rhs))
+                x0 = mask32 * u + (1.0 - mask32) * ubc32
+                u_new, kry, lin_res = solve32(CT, b, x0, lin_rtol)
+                # f32 BiCGStab can break down or diverge: accept the iterate
+                # only if it is finite AND actually reduced the residual,
+                # else keep x0 (the error then stagnates and the sweep hands
+                # off to the f64 phase)
+                b_norm = jnp.sqrt(jnp.vdot(b.reshape(-1), b.reshape(-1)))
+                u_ok = (jnp.isfinite(jnp.vdot(u_new.reshape(-1),
+                                              u_new.reshape(-1)))
+                        & jnp.isfinite(lin_res) & (lin_res < 0.5 * b_norm))
+                u_new = jnp.where(u_ok, u_new, x0)
+                eps_new = kern.strain(u_new)
+                sv_new = kern.apply66(CT, eps_new - eps_rhs)
+                states3 = []
+                for e, st in zip(elems_ne, states2):
+                    st = e.f_increment_isv(st, sv_new, sv_k, dt)
+                    st = e.f_rate(st, sv_new, dt * theta, Temp32)
+                    states3.append(st)
+                diff = jnp.sqrt((((eps_new - eps_v) ** 2)
+                                 * VOIGT_WEIGHT).sum())
+                ref = jnp.sqrt(((eps_new ** 2) * VOIGT_WEIGHT).sum())
+                err = (diff / ref).astype(jnp.float64)
+                # non-finite stress => exit the f32 sweep (the caller then
+                # rolls the whole sweep back and the f64 phase starts clean)
+                err = jnp.where(jnp.isfinite(sv_new).all(), err, jnp.inf)
+                # stagnation exit: f32 arithmetic bottoms out around the
+                # matvec noise floor; once an iteration stops at least
+                # halving the error, hand off to the f64 phase instead of
+                # spinning here
+                prog = err < 0.5 * err_prev
+                kry_tot, _, _ = stats
+                stats = (kry_tot + kry, kry,
+                         jnp.asarray(0.0, dtype=jnp.float64))
+                return (states3, sv_new, eps_new, u_new, ite + 1, err, stats,
+                        prog)
+
+            def cond(carry):
+                *_, ite, err, stats, prog = carry
+                return ((err > fp32_switch) & (ite < maxiter - 1)
+                        & jnp.isfinite(err) & prog & enabled)
+
+            init = (dn(states), sv.astype(f32), eps_v.astype(f32),
+                    u.astype(f32),
+                    jnp.asarray(0, dtype=jnp.int64),
+                    jnp.asarray(1.0, dtype=jnp.float64),
+                    (jnp.asarray(0, dtype=jnp.int64),
+                     jnp.asarray(0, dtype=jnp.int64),
+                     jnp.asarray(0.0, dtype=jnp.float64)),
+                    jnp.asarray(True))
+            (states_o, sv_o, eps_o, u_o, ite, err, stats, _) = \
+                jax.lax.while_loop(cond, body, init)
+            return (up(states_o), sv_o.astype(jnp.float64),
+                    eps_o.astype(jnp.float64), u_o.astype(jnp.float64),
+                    ite, err, stats)
+
+        # state keys that are FROZEN during the fixed-point loop (committed
+        # history; only the end-of-step commit writes them).  After the f32
+        # sweep they are restored from the original f64 inputs so the f64
+        # finish solves the exact same problem as a pure-f64 run - the f32
+        # phase only provides a better starting iterate.
+        _FROZEN = ("eps_old", "rate_old", "qsi_old", "zeta_old")
 
         def fp(states, sv, eps_v, u, b_ext, mask, u_bc, eps_th, Temp, dt,
                tol, maxiter, enabled, P):
+            if use_fp32:
+                orig = (states, sv, eps_v, u)
+                (states, sv, eps_v, u, ite0, err0, stats0) = _phase32(
+                    states, sv, eps_v, u, b_ext, mask, u_bc, eps_th, Temp,
+                    dt, maxiter, enabled, P)
+                states = [
+                    {k: (o[k] if k in _FROZEN else st[k]) for k in st}
+                    for o, st in zip(orig[0], states)]
+                # health gate: the f32 sweep is a best-effort accelerator.
+                # If ANY of its outputs went non-finite OR physically absurd
+                # (an f32 Krylov breakdown can leave finite-but-enormous
+                # iterates whose f64 continuation overflows through
+                # exp(beta_1*I1s) etc.), discard the sweep entirely and let
+                # the f64 phase run from the original state - the result is
+                # then exactly the pure-f64 path.
+                leaves = jax.tree_util.tree_leaves((states, sv, eps_v, u))
+                ok0 = jnp.isfinite(err0) & (err0 < 0.1)
+                # 10 GPa: far above any admissible salt-cavern stress, far
+                # below where exp(beta_1*I1s) etc. overflow even in f64
+                ok0 = ok0 & (jnp.abs(sv).max() < 1e10)
+                for a in leaves:
+                    if jnp.issubdtype(a.dtype, jnp.floating):
+                        ok0 = ok0 & jnp.isfinite(a).all()
+                (states, sv, eps_v, u) = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(ok0, new, old),
+                    (states, sv, eps_v, u), orig)
+                ite0 = jnp.where(ok0, ite0, 0)
+                err0 = jnp.where(ok0, err0, 1.0)
+            else:
+                ite0 = jnp.asarray(0, dtype=jnp.int64)
+                err0 = jnp.asarray(1.0, dtype=jnp.float64)
+                stats0 = (jnp.asarray(0, dtype=jnp.int64),
+                          jnp.asarray(0, dtype=jnp.int64),
+                          jnp.asarray(0.0, dtype=jnp.float64))
 
             def body(carry):
                 states, sv, eps_v, u, _, ite, err_prev, stats, was_tight = \
@@ -666,6 +849,12 @@ class LinearMomentum(LinearMomentumBase):
                     diff = jnp.sqrt((((eps_new - eps_v) ** 2) * w_err).sum())
                     ref = jnp.sqrt(((eps_new ** 2) * w_err).sum())
                     err = diff / ref
+                # fold stress health into the error: a non-finite stress with
+                # a frozen displacement (e.g. a NaN RHS makes the Krylov
+                # solve a 0-iteration no-op) would otherwise read as
+                # "converged" on the strain-change criterion.  err=inf exits
+                # the loop as a failed step -> dt-retry.
+                err = jnp.where(jnp.isfinite(sv_new).all(), err, jnp.inf)
                 kry_tot, _, _ = stats
                 stats = (kry_tot + kry, kry, lin_res)
                 return (states3, sv_new, eps_new, u_new, sv_k, ite + 1, err,
@@ -677,12 +866,7 @@ class LinearMomentum(LinearMomentumBase):
                           & jnp.isfinite(err))
                          | (ite == 0)) & enabled)
 
-            init = (states, sv, eps_v, u, sv,
-                    jnp.asarray(0, dtype=jnp.int64),
-                    jnp.asarray(1.0, dtype=jnp.float64),
-                    (jnp.asarray(0, dtype=jnp.int64),
-                     jnp.asarray(0, dtype=jnp.int64),
-                     jnp.asarray(0.0, dtype=jnp.float64)),
+            init = (states, sv, eps_v, u, sv, ite0, err0, stats0,
                     jnp.asarray(False))
             out = jax.lax.while_loop(cond, body, init)
             return out[:8]
@@ -890,7 +1074,8 @@ class LinearMomentum(LinearMomentumBase):
         key = (id(self.mat), id(self.bc), self.solver.method,
                self.solver.rtol, self.solver.max_it, self.solver.precision,
                self.solver.precond, self.solver.coarse_agg,
-               self.solver.adaptive_rtol, len(self.mat.elems_ne),
+               self.solver.adaptive_rtol,
+               self.solver.fp32_enabled(), self.solver.fp32_switch, len(self.mat.elems_ne),
                len(self.mat.elems_th), id(heat), id(heat.bc),
                heat.solver.rtol, heat.solver.max_it, heat.solver.precision)
         if getattr(self, "_jit_tm_msteps", None) is None or \
@@ -980,6 +1165,7 @@ class LinearMomentum(LinearMomentumBase):
                self.solver.rtol, self.solver.max_it, self.solver.precision,
                self.solver.precond, self.solver.coarse_agg,
                self.solver.adaptive_rtol,
+               self.solver.fp32_enabled(), self.solver.fp32_switch,
                len(self.mat.elems_ne), len(self.mat.elems_th))
         if self._jit_step is None or self._jit_step_key != key:
             self._jit_step = self._build_jit_step()
@@ -1029,6 +1215,7 @@ class LinearMomentum(LinearMomentumBase):
                self.solver.rtol, self.solver.max_it, self.solver.precision,
                self.solver.precond, self.solver.coarse_agg,
                self.solver.adaptive_rtol,
+               self.solver.fp32_enabled(), self.solver.fp32_switch,
                len(self.mat.elems_ne), len(self.mat.elems_th))
         if self._jit_msteps is None or self._jit_step_key != key:
             # keep the single-step cache in sync (shared key)

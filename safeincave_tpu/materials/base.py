@@ -97,9 +97,24 @@ class NonElasticElement:
     # ------------------------------------------------------------------ #
     # Batched rate + exact tangent helpers
     # ------------------------------------------------------------------ #
+    def _p(self, dtype):
+        """Parameter dict matched to the compute dtype.
+
+        The stored parameters are float64 numpy; multiplying them into a
+        float32 computation would silently promote everything back to
+        (software-emulated) float64 on TPU.  The mixed-precision fixed-point
+        phase therefore computes with a float32 shadow of the parameters.
+        """
+        if dtype == jnp.float32:
+            if not hasattr(self, "_params32"):
+                self._params32 = {k: np.asarray(v, dtype=np.float32)
+                                  for k, v in self.params.items()}
+            return self._params32
+        return self.params
+
     def _rate_batched(self, sv6, isv, T):
         return jax.vmap(self._rate_one, in_axes=(0, 0, 0, 0))(
-            sv6, isv, T, self.params)
+            sv6, isv, T, self._p(sv6.dtype))
 
     def _E_exact(self, sv6, isv, T):
         """Exact E = d(rate)/d(sigma_voigt) with doubled shear columns.
@@ -107,7 +122,7 @@ class NonElasticElement:
         Replaces the FD probe of reference MaterialProps.py:640-675.
         """
         jac = jax.vmap(jax.jacfwd(self._rate_one, argnums=0),
-                       in_axes=(0, 0, 0, 0))(sv6, isv, T, self.params)
+                       in_axes=(0, 0, 0, 0))(sv6, isv, T, self._p(sv6.dtype))
         return jac * VOIGT_WEIGHT  # broadcasts over trailing (column) axis
 
     # ------------------------------------------------------------------ #

@@ -24,9 +24,14 @@ from .elastic import isotropic_C
 _R_GAS = 8.32  # gas constant value used by the reference (MaterialProps.py:915)
 
 
+# float32 constant: exact values, and float64 inputs still promote to
+# float64 while float32 (mixed-precision phase) inputs stay float32
+_ISO6_DEV = np.asarray([1., 1., 1., 0., 0., 0.], dtype=np.float32)
+
+
 def _dev6(sv6):
     mean = (sv6[0] + sv6[1] + sv6[2]) / 3.0
-    return sv6 - mean * jnp.asarray([1., 1., 1., 0., 0., 0.])
+    return sv6 - mean * _ISO6_DEV
 
 
 def _von_mises6(sv6):
@@ -37,7 +42,13 @@ def _von_mises6(sv6):
 
 def _von_mises6_floor(sv6, floor):
     """Von Mises with a floor applied *inside* the sqrt so the derivative is
-    finite at zero deviatoric stress (sqrt(max(x, f^2)) == max(sqrt(x), f))."""
+    finite at zero deviatoric stress (sqrt(max(x, f^2)) == max(sqrt(x), f)).
+
+    In float32 the squared floor must stay above the underflow threshold or
+    the guard silently vanishes (1e-30^2 flushes to 0) and the autodiff
+    derivative at zero deviatoric stress becomes NaN."""
+    if sv6.dtype == jnp.float32:
+        floor = max(floor, 1e-15)
     xx, yy, zz, xy, xz, yz = sv6
     arg = 0.5 * ((xx - yy) ** 2 + (xx - zz) ** 2 + (yy - zz) ** 2
                  + 6.0 * (xy ** 2 + xz ** 2 + yz ** 2))
@@ -106,10 +117,18 @@ class Viscoelastic(NonElasticElement):
         }
         self.C1 = isotropic_C(E, self.params["nu"])
 
+    def _C1_for(self, dtype):
+        if dtype == jnp.float32:
+            if not hasattr(self, "_C1_32"):
+                self._C1_32 = self.C1.astype(jnp.float32)
+            return self._C1_32
+        return self.C1
+
     def f_tangent(self, state, sv6, T, dt, theta):
         phi2 = dt * (1 - theta)
-        eye = jnp.eye(6, dtype=jnp.float64)
-        mat = self.params["eta"][:, None, None] * eye + phi2 * self.C1
+        p = self._p(sv6.dtype)
+        eye = jnp.eye(6, dtype=sv6.dtype)
+        mat = p["eta"][:, None, None] * eye + phi2 * self._C1_for(sv6.dtype)
         E_op, _ = inv6x6_fast(mat)
         new = dict(state)
         new["G"] = E_op
@@ -118,7 +137,7 @@ class Viscoelastic(NonElasticElement):
 
     def f_rate_value(self, state, sv6, phi1, T):
         hist = state["eps_old"] + phi1 * state["rate_old"]
-        drive = sv6 - apply66(self.C1, hist)
+        drive = sv6 - apply66(self._C1_for(sv6.dtype), hist)
         return apply66(state["G"], drive)
 
 
@@ -174,7 +193,9 @@ class MunsonDawsonCreep(NonElasticElement):
 
         ratio = jnp.maximum(sigma_safe / mu_safe, 1e-30)
         eps_t_star = p["K0"] * jnp.exp(p["c"] * T) * ratio ** p["m"]
-        eps_t_star = jnp.maximum(eps_t_star, 1e-50)
+        # float32: 1e-50 flushes to zero and zeta/eps_t_star would blow up
+        e_floor = 1e-50 if sv6.dtype != jnp.float32 else 1e-30
+        eps_t_star = jnp.maximum(eps_t_star, e_floor)
 
         delta_cap = p["alpha_w"] + p["beta_w"] * jnp.log10(ratio)
         r_arg2 = (1.0 - zeta / eps_t_star) ** 2
@@ -210,7 +231,8 @@ class MunsonDawsonCreep(NonElasticElement):
                 self._md_fields_one(s, z, t, p)[3],
                 self._md_fields_one(s, z, t, p)[4],
             ),
-            in_axes=(0, 0, 0, 0))(sv6, state["zeta"], T, self.params)
+            in_axes=(0, 0, 0, 0))(sv6, state["zeta"], T,
+                                  self._p(sv6.dtype))
         new["rate"] = rate
         new["eps_t_star"] = eps_t_star
         new["F"] = F
@@ -223,14 +245,15 @@ class MunsonDawsonCreep(NonElasticElement):
         def res_of_zeta(s, z, zo, t, p):
             return self._residue_one(s, z, zo, t, dt, p)
 
+        pp = self._p(sv6.dtype)
         r = jax.vmap(res_of_zeta, in_axes=(0, 0, 0, 0, 0))(
-            sv6, zeta, zeta_old, T, self.params)
+            sv6, zeta, zeta_old, T, pp)
         h = jax.vmap(jax.grad(res_of_zeta, argnums=1), in_axes=(0, 0, 0, 0, 0))(
-            sv6, zeta, zeta_old, T, self.params)
+            sv6, zeta, zeta_old, T, pp)
         Q = jax.vmap(jax.jacfwd(self._rate_one_static, argnums=1),
-                     in_axes=(0, 0, 0, 0))(sv6, zeta, T, self.params)
+                     in_axes=(0, 0, 0, 0))(sv6, zeta, T, pp)
         P = jax.vmap(jax.grad(res_of_zeta, argnums=0), in_axes=(0, 0, 0, 0, 0))(
-            sv6, zeta, zeta_old, T, self.params)
+            sv6, zeta, zeta_old, T, pp)
 
         h_small = jnp.abs(h) < self.H_MIN
         h = jnp.where(h_small, 1.0, h)

@@ -84,7 +84,9 @@ class Spring:
 class Thermoelastic:
     """Thermal strain eps_th = alpha * dT * I (reference :333-382)."""
 
-    _ISO = jnp.asarray([1., 1., 1., 0., 0., 0.])
+    # float32 constant (exact values): float64 inputs still promote to
+    # float64; float32 (mixed-precision phase) inputs stay float32
+    _ISO = np.asarray([1., 1., 1., 0., 0., 0.], dtype=np.float32)
 
     def __init__(self, alpha, name: str = "thermoelastic"):
         self.alpha = np.asarray(alpha, dtype=np.float64)
@@ -93,7 +95,10 @@ class Thermoelastic:
         self.eps_th_v = np.zeros((self.n_elems, 6))
 
     def eps_th_voigt(self, dT) -> jnp.ndarray:
-        return (jnp.asarray(self.alpha) * dT)[:, None] * self._ISO
+        dT = jnp.asarray(dT)
+        alpha = (self.alpha.astype(np.float32)
+                 if dT.dtype == jnp.float32 else self.alpha)
+        return (alpha * dT)[:, None] * self._ISO
 
     def compute_eps_th(self, dT):
         self.eps_th_v = self.eps_th_voigt(jnp.asarray(dT, dtype=jnp.float64))

@@ -43,7 +43,8 @@ class Material:
     # -- element registration (reference :125-170) ------------------------ #
     def add_to_elastic(self, elem):
         elem.initialize()
-        self._CT_el = None  # invalidate cached elastic fallback tangent
+        self._CT_el = None   # invalidate cached elastic fallback tangent
+        self._C_inv32 = None  # and its float32 shadow
         self.C_inv = self.C_inv + elem.C_inv
         self.C = self.C + elem.C
         self.C_tilde_inv = self.C_tilde_inv + elem.C_tilde_inv
@@ -62,8 +63,8 @@ class Material:
     # -- pure-functional core --------------------------------------------- #
     def f_tangent_all(self, states, sv6, T, dt, theta):
         """Per-element tangents + summed (G, B) - reference compute_G_B :172-200."""
-        G = jnp.zeros((self.n_elems, 6, 6), dtype=jnp.float64)
-        B = jnp.zeros((self.n_elems, 6), dtype=jnp.float64)
+        G = jnp.zeros((self.n_elems, 6, 6), dtype=sv6.dtype)
+        B = jnp.zeros((self.n_elems, 6), dtype=sv6.dtype)
         new_states = []
         for elem, st in zip(self.elems_ne, states):
             st = elem.f_tangent(st, sv6, T, dt, theta)
@@ -86,9 +87,17 @@ class Material:
 
     def f_CT(self, G, dt, theta):
         """CT = (C_inv + dt(1-theta) G)^-1 with elastic fallback (reference :273-309)."""
-        mat = self.C_inv + dt * (1 - theta) * G
+        if G.dtype == jnp.float32:
+            if not hasattr(self, "_C_inv32") or self._C_inv32 is None:
+                self._C_inv32 = np.asarray(self.C_inv, dtype=np.float32)
+            C_inv = self._C_inv32
+            fallback = self._elastic_CT().astype(np.float32)
+        else:
+            C_inv = self.C_inv
+            fallback = self._elastic_CT()
+        mat = C_inv + dt * (1 - theta) * G
         CT, ok = inv6x6_fast(mat)
-        return jnp.where(ok[:, None, None], CT, self._elastic_CT())
+        return jnp.where(ok[:, None, None], CT, fallback)
 
     # -- reference-compatible mutating API -------------------------------- #
     def compute_G_B(self, stress, dt, theta, T):

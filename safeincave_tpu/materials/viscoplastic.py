@@ -21,8 +21,12 @@ from ..linalg import eigvalsh3x3
 from ..utils import MPa, VOIGT_WEIGHT, norm_voigt, voigt_to_tensor
 from .base import NonElasticElement, _as_voigt
 
-_SQRT27 = np.sqrt(27.0)
-_ISO6 = jnp.asarray([1., 1., 1., 0., 0., 0.])
+# python float (weak-typed in jax): a numpy float64 SCALAR would silently
+# promote the float32 mixed-precision phase back to float64
+_SQRT27 = float(np.sqrt(27.0))
+# float32 constant: exact values; float64 inputs still promote to float64
+# while the mixed-precision (float32) phase stays float32
+_ISO6 = np.asarray([1., 1., 1., 0., 0., 0.], dtype=np.float32)
 
 
 def _cp_mpa(sv6):
@@ -79,8 +83,17 @@ class ViscoplasticDesai(NonElasticElement):
     # ------------------------------------------------------------------ #
     @staticmethod
     def _Fvp_one(alpha, I1s, J2s, Sr, p):
-        """Yield function (reference compute_Fvp :1222-1246)."""
-        F1 = alpha * I1s ** p["n"] - p["gamma"] * I1s ** 2
+        """Yield function (reference compute_Fvp :1222-1246).
+
+        ``I1s <= 0`` (net tension beyond the tensile shift) is outside the
+        model's domain: the reference evaluates ``I1s ** n`` there and
+        silently produces NaN (torch pow of a negative base).  The power is
+        evaluated at a clamped base instead; callers kill the flow for such
+        elements (see ``_rate_one_static``), which is the only non-NaN
+        reading of the reference semantics.
+        """
+        I1c = jnp.maximum(I1s, 1e-12)
+        F1 = alpha * I1c ** p["n"] - p["gamma"] * I1s ** 2
         F2 = jnp.exp(p["beta_1"] * I1s) - p["beta"] * Sr
         F2 = jnp.maximum(F2, ViscoplasticDesai.F2_MIN)
         return J2s + F1 * F2 ** p["m"]
@@ -100,13 +113,19 @@ class ViscoplasticDesai(NonElasticElement):
         I1s = I1 + p["sigma_t"]
         Fvp = ViscoplasticDesai._Fvp_one(alpha, I1s, J2s, Sr, p)
 
+        # domain guard: fractional powers of I1s NaN for I1s <= 0 (tension
+        # beyond the tensile shift); clamp the power base and kill the flow
+        # on such elements (see _Fvp_one docstring)
+        tension = I1s <= 0.0
+        I1c = jnp.maximum(I1s, 1e-12)
+
         # Flow direction dF/dsigma via the (I1, J2, J3) chain rule (:1329-1407)
-        F1 = -alpha * I1s ** p["n"] + p["gamma"] * I1s ** 2
+        F1 = -alpha * I1c ** p["n"] + p["gamma"] * I1s ** 2
         F2 = jnp.exp(p["beta_1"] * I1s) - p["beta"] * Sr
         f2_neg = F2 < ViscoplasticDesai.F2_MIN
         F2 = jnp.maximum(F2, ViscoplasticDesai.F2_MIN)
 
-        dF1_dI1 = 2 * p["gamma"] * I1s - p["n"] * alpha * I1s ** (p["n"] - 1)
+        dF1_dI1 = 2 * p["gamma"] * I1s - p["n"] * alpha * I1c ** (p["n"] - 1)
         dF2m_dI1 = p["beta_1"] * p["m"] * jnp.exp(p["beta_1"] * I1s) * F2 ** (p["m"] - 1)
         dF_dI1 = -(dF1_dI1 * F2 ** p["m"] + F1 * dF2m_dI1)
 
@@ -135,13 +154,14 @@ class ViscoplasticDesai(NonElasticElement):
         # Guard semantics (:1409-1417): zero flow where J2 ~ 0, F2 was
         # negative, or alpha has fully softened.
         softened = alpha <= 0.01 * p["alpha_0"]
-        kill = j2_low | f2_neg | softened
+        kill = j2_low | f2_neg | softened | tension
         dQdS = jnp.where(kill, 0.0, dQdS)
 
         # Perzyna multiplier with NaN-safe power (:1420-1424)
-        Fvp_safe = jnp.where(Fvp > 0, Fvp, 1.0)
+        yielding = (Fvp > 0) & ~tension
+        Fvp_safe = jnp.where(yielding, Fvp, 1.0)
         lmbda = jnp.where(
-            Fvp > 0,
+            yielding,
             p["mu_1"] * (Fvp_safe / ViscoplasticDesai.F_0) ** p["N_1"],
             0.0)
         return -dQdS * lmbda, Fvp
@@ -166,7 +186,7 @@ class ViscoplasticDesai(NonElasticElement):
     def f_rate(self, state, sv6, phi1, T):
         new = dict(state)
         rate, Fvp = jax.vmap(self._rate_one_static, in_axes=(0, 0, 0))(
-            sv6, state["alpha"], self.params)
+            sv6, state["alpha"], self._p(sv6.dtype))
         new["rate"] = rate
         new["Fvp"] = Fvp
         return new
@@ -184,6 +204,7 @@ class ViscoplasticDesai(NonElasticElement):
         """
         alpha = state["alpha"]
         qsi_old = state["qsi_old"]
+        params = self._p(sv6.dtype)
 
         batched_rate = jax.vmap(
             lambda s, a, p: self._rate_one_static(s, a, p)[0],
@@ -191,29 +212,37 @@ class ViscoplasticDesai(NonElasticElement):
         batched_res = jax.vmap(self._residue_one, in_axes=(0, 0, 0, None, 0))
 
         # base residue with the *stored* rate (:1465)
-        r, _ = batched_res(state["rate"], alpha, qsi_old, dt, self.params)
+        r, _ = batched_res(state["rate"], alpha, qsi_old, dt, params)
 
-        # alpha probe: EPSILON_ALPHA = 1e-4 * alpha (:1459)
-        eps_a = 1e-4 * alpha
-        rate_a = batched_rate(sv6, alpha + eps_a, self.params)
-        r_a, _ = batched_res(rate_a, alpha + eps_a, qsi_old, dt, self.params)
+        # alpha probe: EPSILON_ALPHA = 1e-4 * alpha (:1459).  In the f32
+        # fixed-point phase the reference probe sizes fall below float32
+        # resolution (0.1 Pa on ~1e7 Pa stress is a 1e-8 relative nudge), so
+        # they are widened - the probes only shape the iteration path; the
+        # final f64 iterations (reference-exact probes) decide convergence.
+        f32 = sv6.dtype == jnp.float32
+        eps_a = (1e-2 if f32 else 1e-4) * alpha
+        rate_a = batched_rate(sv6, alpha + eps_a, params)
+        r_a, _ = batched_res(rate_a, alpha + eps_a, qsi_old, dt, params)
         h = (r_a - r) / eps_a
         Q = (rate_a - state["rate"]) / eps_a[:, None]
 
         # stress probes: EPSILON_STRESS = 0.1 Pa on each Voigt entry (:1480-1488)
-        EPS_S = 1e-1
         P_cols = []
         for k in range(6):
+            if f32:
+                EPS_S = 1e-3 * (1.0 + jnp.abs(sv6[:, k]))
+            else:
+                EPS_S = 1e-1
             sv_p = sv6.at[:, k].add(EPS_S)
-            rate_p = batched_rate(sv_p, alpha, self.params)
-            r_p, _ = batched_res(rate_p, alpha, qsi_old, dt, self.params)
+            rate_p = batched_rate(sv_p, alpha, params)
+            r_p, _ = batched_res(rate_p, alpha, qsi_old, dt, params)
             P_cols.append((r_p - r) / EPS_S)
         P = jnp.stack(P_cols, axis=-1)
 
         # committed qsi uses the fresh (consistent) rate at the probe point;
         # the reference commits the value from its last FD probe (:1116),
         # which differs only by the 0.1 Pa perturbation.
-        rate_fresh = batched_rate(sv6, alpha, self.params)
+        rate_fresh = batched_rate(sv6, alpha, params)
         qsi = qsi_old + norm_voigt(rate_fresh) * dt
 
         h_small = jnp.abs(h) < self.H_MIN
@@ -387,7 +416,7 @@ class MohrCoulombViscoplastic(NonElasticElement, _DPFlowMixin):
     def f_rate(self, state, sv6, phi1, T):
         new = dict(state)
         rate, Fvp = jax.vmap(self._rate_one_static, in_axes=(0, 0))(
-            sv6, self.params)
+            sv6, self._p(sv6.dtype))
         new["rate"] = rate
         new["Fvp"] = Fvp
         return new
@@ -466,7 +495,7 @@ class MatsuokaNakaiViscoplastic(NonElasticElement, _DPFlowMixin):
     def f_rate(self, state, sv6, phi1, T):
         new = dict(state)
         rate, Fvp = jax.vmap(self._rate_one_static, in_axes=(0, 0))(
-            sv6, self.params)
+            sv6, self._p(sv6.dtype))
         new["rate"] = rate
         new["Fvp"] = Fvp
         return new

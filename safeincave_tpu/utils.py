@@ -40,7 +40,11 @@ VOIGT_J = np.array([0, 1, 2, 1, 2, 2])
 # tensor contraction:  df/dS : dS  =  sum_k  colfac[k] * df/dS_voigt[k] * dS_voigt[k]
 # host-side constant: device arrays must not be created at import time
 # (importing the package would then require an initialized backend)
-VOIGT_WEIGHT = np.asarray([1.0, 1.0, 1.0, 2.0, 2.0, 2.0])
+# float32 on purpose: the values (1, 2) are exact in every float width, and
+# numpy float32 * jax float64 still promotes to float64 - while float32
+# computations (the mixed-precision fixed-point phase) stay float32 instead
+# of being silently upcast by a float64 constant
+VOIGT_WEIGHT = np.asarray([1.0, 1.0, 1.0, 2.0, 2.0, 2.0], dtype=np.float32)
 
 
 def read_json(file_name: str) -> dict:

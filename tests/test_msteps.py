@@ -129,6 +129,99 @@ class TestFusedMultiStep:
         assert (stats2[:, 5] == 1.0).all()
 
 
+class TestFp32Phase:
+    """Mixed-precision fixed-point sweep (SolverSettings.fp32_phase).
+
+    Early iterations run in f32, the finish in f64 with the frozen history
+    restored exactly - so converged states satisfy the same f64 criterion
+    and must agree with the pure-f64 path to ~tol-level differences."""
+
+    def test_matches_f64_path(self):
+        import safeincave_tpu as sc
+
+        eq_a = _build()
+        for t in TS:
+            eq_a.solve_time_step(t, DT, tol=1e-8, maxiter=40)
+            eq_a.commit_time_step(DT)
+
+        eq_b = _build()
+        eq_b.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12,
+                                          max_it=200, precision="f64",
+                                          fp32_phase=True))
+        for t in TS:
+            ite, err = eq_b.solve_time_step(t, DT, tol=1e-8, maxiter=40)
+            assert err <= 1e-8 and np.isfinite(err)
+            eq_b.commit_time_step(DT)
+
+        for attr in ("u", "sig_v", "eps_tot_v"):
+            a = np.asarray(getattr(eq_a, attr))
+            b = np.asarray(getattr(eq_b, attr))
+            scale = max(np.abs(a).max(), 1e-300)
+            np.testing.assert_allclose(b, a, rtol=2e-7, atol=2e-7 * scale,
+                                       err_msg=attr)
+        # ISVs converge to the same implicit solution
+        a = np.asarray(eq_a.mat.elems_ne[-1].state["alpha"])
+        b = np.asarray(eq_b.mat.elems_ne[-1].state["alpha"])
+        np.testing.assert_allclose(b, a, rtol=1e-5, err_msg="alpha")
+
+
+class TestF32Polymorphism:
+    """Every constitutive element must compute natively in f32 when fed f32
+    state/stress - a single strong-typed f64 constant (numpy scalar, f64
+    jnp literal) silently promotes the whole mixed-precision phase back to
+    software-emulated f64 on TPU."""
+
+    def test_all_elements_stay_f32(self):
+        import jax
+        import jax.numpy as jnp
+        import safeincave_tpu as sc
+
+        n = 4
+        one = np.ones(n)
+        elems = [
+            sc.Viscoelastic(105e11 * one, 10e9 * one, 0.32 * one),
+            sc.DislocationCreep(1.9e-20 * one, 51600 * one, 3.0 * one),
+            sc.PressureSolutionCreep(1e-15 * one, 5e-3 * one, 51600 * one),
+            sc.ViscoplasticDesai(
+                mu_1=5.3665857009859815e-11 * one, N_1=3.1 * one,
+                a_1=1.965018496922832e-05 * one,
+                eta=0.8275682807874163 * one, n=3.0 * one,
+                beta_1=0.0048 * one, beta=0.995 * one, m=-0.5 * one,
+                gamma=0.095 * one, sigma_t=5.0 * one, alpha_0=0.0022 * one),
+            sc.MunsonDawsonCreep(
+                A=1.0e-6 * one, Q=51600 * one, n=5.0 * one, K0=6.0e5 * one,
+                c=9.0e-3 * one, m=3.0 * one, alpha_w=-13.2 * one,
+                beta_w=-7.7 * one, delta=0.58 * one, mu=12.4e9 * one),
+            sc.MohrCoulombViscoplastic(
+                mu_1=1e-10 * one, N_1=3.0 * one, cohesion=1.0 * one,
+                friction_angle=0.5 * one, dilation_angle=0.3 * one,
+                sigma_t=5.0 * one),
+            sc.MatsuokaNakaiViscoplastic(
+                mu_1=1e-10 * one, N_1=3.0 * one, cohesion=1.0 * one,
+                friction_angle=0.5 * one, dilation_angle=0.3 * one,
+                sigma_t=5.0 * one),
+        ]
+        rng = np.random.default_rng(0)
+        sv32 = jnp.asarray(-1e7 * (np.eye(3).ravel()[None, [0, 4, 8, 1, 2, 5]]
+                                   + 0.1 * rng.normal(size=(n, 6))),
+                           dtype=jnp.float32)
+        T32 = jnp.asarray(298.0 * one, dtype=jnp.float32)
+        dt32 = jnp.asarray(3600.0, dtype=jnp.float32)
+
+        for e in elems:
+            st32 = {k: (v.astype(jnp.float32)
+                        if jnp.issubdtype(v.dtype, jnp.floating) else v)
+                    for k, v in e.state.items()}
+            st = e.f_tangent(st32, sv32, T32, dt32, 0.5)
+            st = e.f_eps_k(st, dt32 * 0.5, dt32 * 0.5)
+            st = e.f_increment_isv(st, sv32, sv32, dt32)
+            st = e.f_rate(st, sv32, dt32 * 0.5, T32)
+            for k, v in st.items():
+                if jnp.issubdtype(v.dtype, jnp.floating):
+                    assert v.dtype == jnp.float32, \
+                        f"{e.name}.{k} leaked {v.dtype}"
+
+
 class TestFusedSimulator:
     """Simulator_M with fused chunks == per-step flow (same writes, same
     fields), with sparse outputs (save_every > 1)."""
