@@ -281,22 +281,44 @@ def main():
     # checkpoint boundaries into one device dispatch (solve_time_steps);
     # per-step convergence control runs ON DEVICE with identical
     # commit-only-if-converged semantics, the host syncs once per chunk.
-    # This is how a real operation-stage run with sparse outputs executes.
+    # A step the chunk could not converge is re-attempted pure-f64 from its
+    # preserved entry state - exactly Simulator_M's retry flow - and counts
+    # toward the measured wall-clock.
+    def run_chunk(ts_list):
+        rows, retries = [], 0
+        pending = list(ts_list)
+        while pending:
+            stats = eq.solve_time_steps(pending, [dt] * len(pending),
+                                        tol=1e-8, maxiter=40)
+            conv = (stats[:, 5] > 0.5).astype(int)
+            n_ok = int(conv.cumprod().sum())
+            rows.extend(stats[:n_ok])
+            if n_ok == len(pending):
+                break
+            eq._fp32_disable = True     # retry the failed step pure-f64
+            ite, errv = eq.solve_time_step(pending[n_ok], dt, tol=1e-8,
+                                           maxiter=40)
+            eq._fp32_disable = False
+            assert errv <= 1e-8, f"f64 retry failed: err={errv:.3e}"
+            eq.commit_time_step(dt)
+            rows.append(np.asarray([ite, errv, eq.krylov_total,
+                                    eq.solver_stats[0], eq.solver_stats[1],
+                                    1.0]))
+            retries += 1
+            pending = pending[n_ok + 1:]
+        return np.asarray(rows), retries
+
     t00 = (n_steps + 2) * dt
-    stats = eq.solve_time_steps([t00 + k * dt for k in range(n_steps)],
-                                [dt] * n_steps, tol=1e-8, maxiter=40)
-    assert (stats[:, 5] == 1.0).all(), "fused warmup step failed"
+    run_chunk([t00 + k * dt for k in range(n_steps)])   # warmup/compile
     t0 = time.time()
     t01 = t00 + n_steps * dt
-    stats = eq.solve_time_steps([t01 + k * dt for k in range(n_steps)],
-                                [dt] * n_steps, tol=1e-8, maxiter=40)
+    stats, retries = run_chunk([t01 + k * dt for k in range(n_steps)])
     elapsed = time.time() - t0
-    assert (stats[:, 5] == 1.0).all(), "fused bench step failed"
     per_step = elapsed / n_steps
-    log(f"{n_steps} steps (fused driver, 1 dispatch): {elapsed:.3f}s "
+    log(f"{n_steps} steps (fused driver): {elapsed:.3f}s "
         f"({per_step*1000:.1f} ms/step, {stats[:, 0].mean():.1f} "
-        f"fp-iters/step, {stats[:, 2].mean():.0f} krylov-iters/step), "
-        f"final err={stats[-1, 1]:.2e}")
+        f"fp-iters/step, {stats[:, 2].mean():.0f} krylov-iters/step, "
+        f"{retries} f64 retries), final err={stats[-1, 1]:.2e}")
 
     try:
         bench_tm(eq)

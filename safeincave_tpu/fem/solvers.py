@@ -164,13 +164,18 @@ def ir_solve(A_hi: Callable, A_lo: Callable, b, x0, M_inv_lo,
         rhs = (r / scale).astype(lo)
         d, k, _ = inner_solve(A_lo, rhs, jnp.zeros_like(rhs), M_inv_lo,
                               rtol=inner_rtol, maxiter=inner_maxiter)
-        # a broken-down f32 pass can return non-finite d: skip the update
-        # (x keeps its last good value); the stagnation guard then exits
-        # with the honest previous residual
+        # accept the pass only if it actually REDUCED the true residual: a
+        # broken-down or diverged inner solve can return finite garbage, and
+        # keeping it would hand the caller a corrupted iterate (the
+        # stagnation guard would then exit with x far worse than x0)
         d_ok = jnp.isfinite(_vdot(d, d))
-        x = jnp.where(d_ok, x + scale * d.astype(b.dtype), x)
-        r = b - A_hi(x)
-        rn = jnp.sqrt(_vdot(r, r))
+        x_try = jnp.where(d_ok, x + scale * d.astype(b.dtype), x)
+        r_try = b - A_hi(x_try)
+        rn_try = jnp.sqrt(_vdot(r_try, r_try))
+        improved = jnp.isfinite(rn_try) & (rn_try < rnorm)
+        x = jnp.where(improved, x_try, x)
+        r = jnp.where(improved, r_try, r)
+        rn = jnp.where(improved, rn_try, rnorm)
         return x, r, rn, rnorm, k_tot + k, passes + 1
 
     # rnorm_prev starts at +inf so the first pass always runs

@@ -230,7 +230,11 @@ class Simulator_M(Simulator):
 
             while not step_converged and dt_cut <= self.max_dt_cuts:
                 # fused fixed-point solve: the whole inner loop of reference
-                # Simulators.py:404-438 runs as one jitted XLA program
+                # Simulators.py:404-438 runs as one jitted XLA program.
+                # Retries run pure-f64 (no f32 sweep): if the mixed-precision
+                # path contributed to the failure, the retry must not repeat
+                # it deterministically.
+                eq._fp32_disable = dt_cut > 0
                 ite, error = eq.solve_time_step(t, dt_current, tol=self.tol,
                                                 maxiter=self.maxiter)
                 stress = eq.sig_v
