@@ -10,8 +10,12 @@ locality and the quality of contiguous-chunk sharding (SURVEY.md 7.3:
 * ``rcb``: recursive coordinate bisection into ``nparts`` spatially compact
   equal-size blocks - contiguous element chunks then map 1:1 onto devices, so
   the sharded assembly's cross-device node overlap is minimized.
+* ``band``: RCM node ordering + min-node element sort - the layout the
+  banded Pallas matvec (fem/bandplan.py) compiles its static schedule
+  against; also excellent gather locality for the XLA path.
 
-Nodes are renumbered by first touch in the new element order.
+Nodes are renumbered by first touch in the new element order (``band``
+instead dictates the node order directly).
 """
 from __future__ import annotations
 
@@ -48,6 +52,17 @@ def reorder_arrays(points, tets, tet_tags, tris, tri_tags,
     elif method == "morton":
         order = morton_order(centroids)
         parts = None
+    elif method == "band":
+        from ..fem.bandplan import band_order
+        node_old, order = band_order(tets, points.shape[0])
+        nperm = np.empty(points.shape[0], np.int64)
+        nperm[node_old] = np.arange(points.shape[0])   # old -> new
+        tets_new = nperm[tets[order]].astype(np.int32)
+        points_new = np.empty_like(points)
+        points_new[nperm] = points
+        tris_new = nperm[tris].astype(np.int32) if tris.shape[0] else tris
+        return (points_new, tets_new, tet_tags[order], tris_new, tri_tags,
+                None)
     else:
         raise ValueError(f"unknown reorder method {method!r}")
 
@@ -75,12 +90,21 @@ def reordered_grid(grid, method: str = "morton", nparts: int | None = None):
     elif method == "morton":
         order = morton_order(grid.centroids)
         parts = None
+    elif method == "band":
+        from ..fem.bandplan import band_order
+        node_old, order = band_order(grid.conn, grid.n_nodes)
+        nperm = np.empty(grid.n_nodes, np.int64)
+        nperm[node_old] = np.arange(grid.n_nodes)
+        conn_new = grid.conn[order]
+        tags_new = grid.elem_tags[order]
+        parts = None
     else:
         raise ValueError(f"unknown reorder method {method!r}")
 
-    conn_new = grid.conn[order]
-    tags_new = grid.elem_tags[order]
-    nperm = node_first_touch(conn_new, grid.n_nodes)
+    if method != "band":
+        conn_new = grid.conn[order]
+        tags_new = grid.elem_tags[order]
+        nperm = node_first_touch(conn_new, grid.n_nodes)
 
     points_new = np.empty_like(grid.points)
     points_new[nperm] = grid.points

@@ -1,9 +1,9 @@
 """BandPlan static-schedule validation (pure numpy, no TPU).
 
-The numpy re-execution in BandPlan.gather_np/scatter_np mirrors the Pallas
-kernel's op sequence 1:1; these tests pin it against naive gather/scatter-add
-references, so a green run here certifies the static tables independently of
-Mosaic.
+The numpy re-execution in BandPlan.build_R/gather_np/scatter_np mirrors the
+Pallas kernel + XLA pack/compress op sequence 1:1; these tests pin it against
+naive gather/scatter-add references, so a green run here certifies the static
+tables independently of Mosaic.
 """
 import numpy as np
 import pytest
@@ -46,6 +46,19 @@ def test_band_order_reduces_bandwidth():
     assert bw <= bw0
 
 
+def test_slice_alignment():
+    conn, N = _planned(6)
+    plan = BandPlan.build(conn, N)
+    for k in range(plan.Wg):
+        ci, off = plan.g_slice(k)
+        assert off % 8 == 0 and off >= 0
+        assert off + plan.Er <= plan.Lg
+    for k2 in range(plan.Ws):
+        bi, off = plan.s_slab(k2)
+        assert off % 8 == 0 and off >= 0
+        assert off + plan.Er <= plan.Ls
+
+
 @pytest.mark.parametrize("nx", [3, 6, 9])
 def test_gather_matches_naive(nx):
     conn, N = _planned(nx)
@@ -54,7 +67,8 @@ def test_gather_matches_naive(nx):
     u = rng.normal(size=N)
     u2d = np.zeros((plan.Nr, 128))
     u2d.reshape(-1)[:N] = u
-    out = plan.gather_np(u2d)
+    RS = plan.build_R(u2d)
+    out = plan.gather_np(RS)
     E = conn.shape[0]
     for a in range(4):
         got = out[a].reshape(-1)[:E]
@@ -79,13 +93,18 @@ def test_scatter_matches_naive(nx):
 
 
 def test_padding_rows_are_inert():
+    """Padding lanes borrow the last element's dests; with the kernel's
+    zero contributions there (CT/vol/grad_N zero-padded) they are inert."""
     conn, N = _planned(5)
     plan = BandPlan.build(conn, N)
-    fe = np.ones((4, plan.Er, 128))   # garbage in padded slots too
+    E = conn.shape[0]
+    fe = np.zeros((4, plan.Er, 128))
+    for a in range(4):
+        fe[a].reshape(-1)[:E] = 1.0       # real lanes 1, padded lanes 0
     out = plan.scatter_np(fe)
     ref = np.zeros(N)
     for a in range(4):
-        np.add.at(ref, conn[:, a], np.ones(conn.shape[0]))
+        np.add.at(ref, conn[:, a], np.ones(E))
     np.testing.assert_allclose(out.reshape(-1)[:N], ref, atol=1e-12)
     # padded node slots receive nothing
     assert np.all(out.reshape(-1)[N:] == 0.0)
