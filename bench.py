@@ -61,10 +61,14 @@ def build(nx=17):
     import safeincave_tpu as sc
     momBC = sc.MomentumBC
 
-    cav = "/root/reference/grids/cavern_regular_600_3D"
-    if os.path.isfile(os.path.join(cav, "geom.msh")):
+    from safeincave_tpu.utils import find_grid
+    try:
+        cav = find_grid("cavern_regular_600_3D", fallback="cavern_proxy_600")
+    except FileNotFoundError:
+        cav = None
+    if cav is not None:
         grid = sc.GridHandlerGMSH("geom", cav, reorder="morton")
-        log(f"mesh: cavern_regular_600_3D ({grid.n_nodes} nodes, "
+        log(f"mesh: {os.path.basename(cav)} ({grid.n_nodes} nodes, "
             f"{grid.n_elems} tets, morton-reordered)")
         names = grid.get_boundary_names()
     else:

@@ -22,10 +22,16 @@ CAVERN_GRID = "/root/reference/grids/cavern_regular_600_3D"
 
 
 def build_equation():
+    proxy = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "..", "..", "..", "grids", "cavern_proxy_600")
     if os.path.isfile(os.path.join(CAVERN_GRID, "geom.msh")):
         grid = sc.GridHandlerGMSH("geom", CAVERN_GRID)
         names = dict(west="West", south="South", bottom="Bottom",
                      east="East", north="North", top="Top", cavern="Cavern")
+    elif os.path.isfile(os.path.join(proxy, "geom.msh")):
+        grid = sc.GridHandlerGMSH("geom", proxy)
+        names = dict(west="WEST", south="SOUTH", bottom="BOTTOM",
+                     east="EAST", north="NORTH", top="TOP", cavern="Cavern")
     else:
         grid = sc.GridBox(Lx=450.0, Ly=450.0, Lz=660.0, nx=8, ny=8, nz=10)
         names = dict(west="WEST", south="SOUTH", bottom="BOTTOM",

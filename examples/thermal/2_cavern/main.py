@@ -14,7 +14,9 @@ import safeincave_tpu.utils as ut
 
 heatBC = sc.HeatBC
 
-GRID_DIR = os.path.join("/root", "reference", "grids", "cavern_regular_600_3D")
+from safeincave_tpu.utils import find_grid
+
+GRID_DIR = find_grid("cavern_regular_600_3D", fallback="cavern_proxy_600")
 
 
 def main(n_time_steps=100, final_time=5.0, time_unit="year",

@@ -17,13 +17,24 @@ import os
 VALID_BC_TYPES = ("dirichlet", "neumann")
 VALID_SOLVER_TYPES = ("LU", "KrylovSolver")
 VALID_ELEMENT_TYPES = ("KelvinVoigt", "DislocationCreep",
-                       "ViscoplasticDesai")
+                       "ViscoplasticDesai", "PressureSolutionCreep",
+                       "MunsonDawsonCreep", "MohrCoulombViscoplastic",
+                       "MatsuokaNakaiViscoplastic")
 
 ELEMENT_PARAMS = {
     "KelvinVoigt": ("eta", "E", "nu"),
     "DislocationCreep": ("A", "Q", "n", "T"),
     "ViscoplasticDesai": ("mu_1", "N_1", "a_1", "eta", "n", "beta_1",
                           "beta", "m", "gamma", "sigma_t", "alpha_0"),
+    "PressureSolutionCreep": ("A", "d", "Q", "T"),
+    "MunsonDawsonCreep": ("A", "Q", "n", "K0", "c", "m", "alpha_w",
+                          "beta_w", "delta", "mu", "T"),
+    "MohrCoulombViscoplastic": ("mu_1", "N_1", "cohesion",
+                                "friction_angle", "dilation_angle",
+                                "sigma_t"),
+    "MatsuokaNakaiViscoplastic": ("mu_1", "N_1", "cohesion",
+                                  "friction_angle", "dilation_angle",
+                                  "sigma_t"),
 }
 
 _DEFAULT = {
@@ -155,6 +166,14 @@ class InputFileBuilder:
 
     def add_nonelastic(self, name: str, type: str, parameters: dict,
                        active=True, equilibrium=False):
+        """Add an inelastic element block.
+
+        Each parameter value may be a scalar (homogeneous), a
+        ``{region_name: value}`` dict, or a per-element list — all three are
+        expanded by ``grid.get_parameter`` at build time (reference
+        Grid.py:538-579 idiom, e.g. interlayer vs salt parameter sets in
+        /root/reference/examples/mechanics/nobian/Simulation/run_interlayer.py).
+        """
         if type not in VALID_ELEMENT_TYPES:
             raise ValueError(f"element type must be one of "
                              f"{VALID_ELEMENT_TYPES}, got {type!r}")

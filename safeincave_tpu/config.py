@@ -15,7 +15,9 @@ import numpy as np
 
 from .fem import LinearMomentum, SolverSettings
 from .materials import (Material, Spring, Viscoelastic, DislocationCreep,
-                        ViscoplasticDesai)
+                        ViscoplasticDesai, PressureSolutionCreep,
+                        MunsonDawsonCreep, MohrCoulombViscoplastic,
+                        MatsuokaNakaiViscoplastic)
 from .mesh import GridHandlerGMSH
 from .bcs import MomentumBC as momBC
 from .output import SaveFields
@@ -96,9 +98,7 @@ class Simulator_GUI:
             elem = DislocationCreep(self._get_param(blk, "A"),
                                     self._get_param(blk, "Q"),
                                     self._get_param(blk, "n"), elem_name)
-            T = self._get_param(blk, "T")
-            self.mom_eq.set_T0(T)
-            self.mom_eq.set_T(T)
+            self._set_T(blk)
             return elem
         if kind == "ViscoplasticDesai":
             names = ["mu_1", "N_1", "a_1", "eta", "n", "beta_1", "beta",
@@ -108,7 +108,40 @@ class Simulator_GUI:
                                      p["n"], p["beta_1"], p["beta"], p["m"],
                                      p["gamma"], p["sigma_t"], p["alpha_0"],
                                      elem_name)
+        if kind == "PressureSolutionCreep":
+            elem = PressureSolutionCreep(self._get_param(blk, "A"),
+                                         self._get_param(blk, "d"),
+                                         self._get_param(blk, "Q"), elem_name)
+            self._set_T(blk)
+            return elem
+        if kind == "MunsonDawsonCreep":
+            names = ["A", "Q", "n", "K0", "c", "m", "alpha_w", "beta_w",
+                     "delta", "mu"]
+            p = {n: self._get_param(blk, n) for n in names}
+            elem = MunsonDawsonCreep(p["A"], p["Q"], p["n"], p["K0"], p["c"],
+                                     p["m"], p["alpha_w"], p["beta_w"],
+                                     p["delta"], p["mu"], elem_name)
+            self._set_T(blk)
+            return elem
+        if kind in ("MohrCoulombViscoplastic", "MatsuokaNakaiViscoplastic"):
+            names = ["mu_1", "N_1", "cohesion", "friction_angle",
+                     "dilation_angle", "sigma_t"]
+            p = {n: self._get_param(blk, n) for n in names}
+            cls = (MohrCoulombViscoplastic
+                   if kind == "MohrCoulombViscoplastic"
+                   else MatsuokaNakaiViscoplastic)
+            return cls(p["mu_1"], p["N_1"], p["cohesion"],
+                       p["friction_angle"], p["dilation_angle"],
+                       p["sigma_t"], elem_name)
         raise Exception(f"Element type {kind} not supported.")
+
+    def _set_T(self, blk):
+        """Temperature-dependent elements carry their T in the block
+        (the reference GUI's DislocationCreep idiom, Simulators.py:1129)."""
+        if "T" in blk["parameters"]:
+            T = self._get_param(blk, "T")
+            self.mom_eq.set_T0(T)
+            self.mom_eq.set_T(T)
 
     def element_exist(self, elem_name: str) -> bool:
         return any(e.name == elem_name for e in self.mom_eq.mat.elems_ne)

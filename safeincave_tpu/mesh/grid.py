@@ -213,6 +213,16 @@ class Grid:
         (reference Grid.py:538-579)."""
         if isinstance(param, (int, float)):
             return jnp.full(self.n_elems, float(param), dtype=jnp.float64)
+        if isinstance(param, dict):
+            # region-keyed dict {region_name: value} (config-layer idiom for
+            # heterogeneous per-region parameter blocks)
+            out = np.zeros(self.n_elems)
+            missing = [r for r in self.region_indices if r not in param]
+            if missing:
+                raise Exception(f"Parameter dict missing regions: {missing}")
+            for region, idx in self.region_indices.items():
+                out[idx] = float(param[region])
+            return jnp.asarray(out)
         param_arr = np.asarray(param)
         if param_arr.shape[0] == self.n_regions and self.n_regions != self.n_elems:
             out = np.zeros(self.n_elems)

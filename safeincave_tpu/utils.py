@@ -154,3 +154,26 @@ def create_field_elems(grid, fun: Fn) -> jnp.ndarray:
     except Exception:
         vals = np.array([fun(x, y, z) for x, y, z in cent], dtype=np.float64)
     return jnp.asarray(vals)
+
+
+def find_grid(name: str, fallback: str | None = None) -> str:
+    """Locate a grid fixture directory by name.
+
+    Prefers the reference checkout's grids/ (full-resolution meshes) when
+    mounted; otherwise falls back to the repo-owned fixtures under
+    ``grids/`` (generated by grids/make_fixtures.py), using ``fallback``
+    as the repo-side name when the reference mesh has no committed twin.
+    """
+    import os as _os
+    ref = _os.path.join("/root", "reference", "grids", name)
+    if _os.path.isfile(_os.path.join(ref, "geom.msh")):
+        return ref
+    repo_grids = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "grids")
+    for cand in ([fallback] if fallback else []) + [name]:
+        d = _os.path.join(repo_grids, cand)
+        if _os.path.isfile(_os.path.join(d, "geom.msh")):
+            return d
+    raise FileNotFoundError(
+        f"grid {name!r} not found (reference unmounted and no repo fixture; "
+        f"run grids/make_fixtures.py)")

@@ -12,7 +12,8 @@ import pytest
 
 from safeincave_tpu.mesh import GridBox, GridHandlerGMSH, box_mesh
 
-REF_CUBE = "/root/reference/tests/files/cube_coarse"
+# repo-owned copy of the reference cube_coarse fixture (tests/files/README.md)
+REF_CUBE = os.path.join(os.path.dirname(__file__), "files", "cube_coarse")
 
 
 class TestBoxMesh:
@@ -96,10 +97,11 @@ class TestGmshCubeCoarse:
             np.testing.assert_allclose(g.tri_areas[idx].sum(), 1.0, rtol=1e-10)
 
 
-@pytest.mark.skipif(
-    not os.path.isfile("/root/reference/grids/cavern_regular_600_3D/geom.msh"),
-    reason="reference grids not available")
 class TestGmshV41Cavern:
+    @pytest.mark.skipif(
+        not os.path.isfile(
+            "/root/reference/grids/cavern_regular_600_3D/geom.msh"),
+        reason="reference grids not available")
     def test_load_cavern(self):
         g = GridHandlerGMSH("geom", "/root/reference/grids/cavern_regular_600_3D")
         # counts pinned in BASELINE.md from the .msh headers
@@ -107,3 +109,14 @@ class TestGmshV41Cavern:
         assert g.n_elems == 23935  # tets only; the 29944 header count includes boundary tris+lines
         assert g.volumes.min() > 0
         assert len(g.get_boundary_names()) >= 4
+
+    def test_load_cavern_proxy(self):
+        """Repo-owned cavern-class fixture (grids/make_fixtures.py)."""
+        g = GridHandlerGMSH(
+            "geom", os.path.join(os.path.dirname(__file__), "..",
+                                 "grids", "cavern_proxy_600"))
+        assert g.n_nodes == 3360
+        assert g.n_elems == 16148
+        assert g.volumes.min() > 0
+        assert "Cavern" in g.get_boundary_names()
+        assert set(g.get_subdomain_names()) == {"SALT", "INTERLAYER"}

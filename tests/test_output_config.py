@@ -187,3 +187,86 @@ class TestMaterialPoint:
                                     loss_scale=np.abs(np.asarray(observed)).max())
         np.testing.assert_allclose(fitted["A"], A_true, rtol=0.05)
         assert hist[-1] < hist[0]
+
+class TestMultiModelConfig:
+    """Config layer covers all 7 inelastic models with per-region parameter
+    dicts (reference idiom: MN interlayer + MD salt,
+    /root/reference/examples/mechanics/nobian/Simulation/run_interlayer.py:1658,1750)."""
+
+    def test_mn_interlayer_md_salt_runs(self, tmp_path):
+        out_dir = tmp_path / "out"
+        hourv = 3600.0
+        deg = np.pi / 180.0
+        cfg = {
+            "output": {"path": str(out_dir)},
+            "grid": {"path": os.path.join(os.path.dirname(__file__), "..",
+                                  "grids", "cube_regions"), "name": "geom"},
+            "time_settings": {"theta": 0.5,
+                              "time_list": [0.0, hourv, 2 * hourv]},
+            "body_force": {"direction": 2, "gravity": 0.0, "density": 2200.0},
+            "constitutive_model": {
+                "elastic": {"spring": {"parameters": {
+                    "E": {"OMEGA_A": 25e9, "OMEGA_B": 102e9}, "nu": 0.3}}},
+                "nonelastic": {
+                    "mn_interlayer": {
+                        "type": "MatsuokaNakaiViscoplastic", "active": True,
+                        "equilibrium": False,
+                        "parameters": {
+                            # interlayer yields, salt region effectively rigid
+                            # (huge cohesion => Fvp < 0 there)
+                            "mu_1": 1e-12, "N_1": 1.0,
+                            "cohesion": {"OMEGA_A": 1e6, "OMEGA_B": 1e12},
+                            "friction_angle": 30 * deg,
+                            "dilation_angle": 10 * deg,
+                            "sigma_t": 5.0}},
+                    "md_salt": {
+                        "type": "MunsonDawsonCreep", "active": True,
+                        "equilibrium": False,
+                        "parameters": {
+                            "A": {"OMEGA_A": 0.0, "OMEGA_B": 1.0e-22},
+                            "Q": 51600.0, "n": 3.0, "K0": 1e-6, "c": 0.0092,
+                            "m": 3.0, "alpha_w": -10.0, "beta_w": -0.7,
+                            "delta": 0.58, "mu": 12e9, "T": 298.0}},
+                },
+            },
+            "solver_settings": {"type": "KrylovSolver", "method": "cg",
+                                "preconditioner": "jacobi",
+                                "relative_tolerance": 1e-12},
+            "simulation_settings": {
+                "equilibrium": {"active": False, "dt_max": hourv,
+                                "ite_max": 1},
+                "operation": {"dt_max": hourv, "hardening": False},
+            },
+            "boundary_conditions": {
+                "WEST": {"type": "dirichlet", "component": 0,
+                         "values": [0.0, 0.0, 0.0]},
+                "SOUTH": {"type": "dirichlet", "component": 1,
+                          "values": [0.0, 0.0, 0.0]},
+                "BOTTOM": {"type": "dirichlet", "component": 2,
+                           "values": [0.0, 0.0, 0.0]},
+                "TOP": {"type": "neumann", "direction": 2, "density": 0.0,
+                        "reference_position": 0.0,
+                        "values": [8e6, 9e6, 8e6]},
+            },
+        }
+        sim = sc.Simulator_GUI(cfg)
+        # per-region dict expanded to per-element arrays
+        E = np.asarray(sim.mat.elems_e[0].E)
+        assert len(np.unique(E)) == 2
+        sim.run()
+        t, u, _, _ = postproc.read_timeseries(str(out_dir / "operation"), "u")
+        assert u.shape[0] >= 2
+        assert np.isfinite(u).all()
+
+    def test_builder_validates_all_seven_models(self):
+        from safeincave_tpu.app.builder import (InputFileBuilder,
+                                                VALID_ELEMENT_TYPES,
+                                                ELEMENT_PARAMS)
+        assert len(VALID_ELEMENT_TYPES) == 7
+        b = InputFileBuilder()
+        for t in VALID_ELEMENT_TYPES:
+            params = {k: 1.0 for k in ELEMENT_PARAMS[t]}
+            b.add_nonelastic(f"el_{t}", t, params)
+        assert len(b.data["constitutive_model"]["nonelastic"]) == 7
+        with pytest.raises(ValueError):
+            b.add_nonelastic("bad", "MunsonDawsonCreep", {"A": 1.0})
