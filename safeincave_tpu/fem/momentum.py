@@ -1324,5 +1324,10 @@ class LinearMomentum(LinearMomentumBase):
             last = int(np.nonzero(done)[0][-1])
             self.krylov_total = int(stats[last, 2])
             self.solver_stats = (int(stats[last, 3]), float(stats[last, 4]))
+        else:
+            # no step converged: don't leave counters from an older solve
+            # for external readers (metrics, screen rows)
+            self.krylov_total = 0
+            self.solver_stats = (0, float("nan"))
         self.run_after_solve()
         return stats

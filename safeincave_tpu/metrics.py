@@ -25,10 +25,15 @@ class StepMetrics:
             self._fh = open(jsonl_path, "w")
 
     def record(self, step: int, t: float, dt: float, fp_iters: int,
-               error: float, **kw):
+               error: float, wall_s: float | None = None, **kw):
+        """``wall_s=None`` measures since the previous record (per-step
+        host-sync mode); fused-chunk drivers pass an explicit per-step share
+        of the chunk's wall-clock so rows stay meaningful per step."""
         now = time.time()
         rec = {"step": step, "t": t, "dt": dt, "fp_iters": fp_iters,
-               "error": error, "wall_s": now - self._t_last, **kw}
+               "error": error,
+               "wall_s": (now - self._t_last) if wall_s is None else wall_s,
+               **kw}
         self._t_last = now
         self.records.append(rec)
         if self._fh:

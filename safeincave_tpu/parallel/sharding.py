@@ -255,10 +255,24 @@ def shard_equation(eq, mesh: Mesh | None = None, axis: str = "e"):
             if hasattr(elem, name):
                 setattr(elem, name, pad_put(getattr(elem, name)))
 
-    # invalidate jit caches (kernel changed)
+    # invalidate jit caches (kernel changed).  This includes the TM
+    # multi-step driver (its closure captures the pre-sharding kernel), the
+    # fused commit, and the lazily-built f32 shadow arrays on the material /
+    # elements, which would otherwise keep their unpadded shapes.
     eq._jit_solve = None
     eq._jit_step = None
     eq._jit_step_key = None
     eq._jit_msteps = None
+    eq._jit_tm_msteps = None
+    eq._jit_tm_key = None
+    eq._jit_commit = None
+    eq._jit_commit_key = None
     eq._precond = None
+    for obj in [mat] + mat.elems_ne + mat.elems_e + mat.elems_th:
+        for cache in ("_params32", "_C1_32", "_C_inv32"):
+            # the lazy builders test hasattr, so the stale entries must be
+            # deleted, not set to None (material.py additionally accepts None)
+            if hasattr(obj, cache):
+                delattr(obj, cache)
+    mat._C_inv32 = None
     return eq

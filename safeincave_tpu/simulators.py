@@ -19,6 +19,7 @@ the host/device split the reference has with PETSc.
 from __future__ import annotations
 
 import os
+import time
 from abc import ABC, abstractmethod
 
 import numpy as np
@@ -122,15 +123,21 @@ class Simulator_M(Simulator):
             dts.append(tc.dt)
         if not ts:
             return True
+        t_wall0 = time.time()
         stats = eq.solve_time_steps(ts, dts, tol=self.tol,
                                     maxiter=self.maxiter)
+        chunk_wall = time.time() - t_wall0
         conv = (stats[:, 5] > 0.5).astype(int)
         n_ok = int(conv.cumprod().sum())     # converged prefix length
         for k in range(n_ok):
             step_no = s0 + 1 + k
             if self.metrics is not None:
+                # the chunk runs as ONE dispatch: report each step's share
+                # of the chunk wall-clock, flagged as fused
                 self.metrics.record(step_no, ts[k], dts[k],
                                     int(stats[k, 0]), float(stats[k, 1]),
+                                    wall_s=chunk_wall / max(n_ok, 1),
+                                    fused=True,
                                     converged=True, dt_cuts=0,
                                     krylov=int(stats[k, 3]),
                                     krylov_total=int(stats[k, 2]),
@@ -188,6 +195,7 @@ class Simulator_M(Simulator):
 
         while tc.keep_looping():
             chunk = self._plan_chunk_size()
+            fused_failed = False
             if chunk > 1:
                 all_converged = self._run_fused_chunk(chunk)
                 # on failure eq holds the failed step's ENTRY state - refresh
@@ -196,6 +204,7 @@ class Simulator_M(Simulator):
                 eps_tot = eq.eps_tot_v
                 if all_converged:
                     continue
+                fused_failed = True
             # chunk of 1, or a fused step failed to converge (tc rewound to
             # it): run the reference per-step flow with dt-halving retry
             tc.advance_time()
@@ -233,8 +242,12 @@ class Simulator_M(Simulator):
                 # Simulators.py:404-438 runs as one jitted XLA program.
                 # Retries run pure-f64 (no f32 sweep): if the mixed-precision
                 # path contributed to the failure, the retry must not repeat
-                # it deterministically.
-                eq._fp32_disable = dt_cut > 0
+                # it deterministically.  A step that just failed inside a
+                # fused chunk already ran the fp32+f64 path at this exact
+                # state - re-attempting it identically is a guaranteed-wasted
+                # solve, so the first host attempt after a fused failure is
+                # pure-f64 too.
+                eq._fp32_disable = dt_cut > 0 or fused_failed
                 ite, error = eq.solve_time_step(t, dt_current, tol=self.tol,
                                                 maxiter=self.maxiter)
                 stress = eq.sig_v
@@ -385,13 +398,14 @@ class Simulator_T(Simulator):
                     tc.advance_time()
                     ts.append(tc.t)
                     dts.append(tc.dt)
-                self.eq_heat.solve_steps(ts, dts)
+                stats = self.eq_heat.solve_steps(ts, dts)
                 for k in range(len(ts)):
                     current_time = "%.3f" % (ts[k] / tc.time_conversion)
                     self.screen.print_row([
                         s0 + 1 + k, dts[k] / tc.time_conversion,
                         f"{current_time} / "
-                        f"{tc.t_final / tc.time_conversion}", 0, 0,
+                        f"{tc.t_final / tc.time_conversion}",
+                        int(stats[k, 0]), float(stats[k, 1]),
                     ])
                 for output in self.outputs:
                     output.skip_calls(len(ts) - 1)
