@@ -232,8 +232,27 @@ def bench_tm(eq, n_steps=5):
 
 
 def main():
+    """Headline-first layout.
+
+    Through the tunneled TPU a COLD compile of one fused program can cost
+    minutes (round-1 post-mortem: the benchmark timed out inside its third
+    big compile and never printed its JSON).  So the run is ordered by
+    what it must not lose: the headline needs exactly ONE big program (the
+    fused multi-step driver); everything else - matvec roofline, the
+    per-step host-sync comparison (its own big program), the TM config
+    (another) - is optional, runs strictly after the headline JSON is on
+    stdout, and is gated by the remaining time budget (BENCH_BUDGET_S,
+    default 540 s).  The persistent compile cache (/tmp/jax_cache) makes
+    warm reruns report every section.
+    """
     import jax
     import safeincave_tpu  # noqa: F401  (x64)
+
+    t_start = time.time()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "540"))
+
+    def remaining():
+        return budget - (time.time() - t_start)
 
     eq = build()
     dofs = eq.n_nodes * 3
@@ -251,35 +270,8 @@ def main():
     eq.compute_eps_ne_rate(eq.sig_v, 0.0)
     eq.update_eps_ne_rate_old()
 
-    bench_matvec(eq)
-
     dt = 3600.0
-    # warmup / compile
-    t0 = time.time()
-    ite, err = eq.solve_time_step(dt, dt, tol=1e-8, maxiter=40)
-    jax.block_until_ready(eq.u)
-    log(f"first fused step (incl. compile): {time.time()-t0:.2f}s, "
-        f"iters={ite}, err={err:.2e}, krylov_total={eq.krylov_total}")
-    eq.commit_time_step(dt)
-
     n_steps = 20
-    iters_total = 0
-    kry_total = 0
-    t0 = time.time()
-    for k in range(n_steps):
-        t = (k + 2) * dt
-        ite, err = eq.solve_time_step(t, dt, tol=1e-8, maxiter=40)
-        iters_total += ite
-        kry_total += eq.krylov_total
-        eq.commit_time_step(dt)
-    jax.block_until_ready(eq.u)
-    elapsed = time.time() - t0
-    per_step_hostsync = elapsed / n_steps
-    log(f"{n_steps} steps (per-step host sync): {elapsed:.3f}s "
-        f"({per_step_hostsync*1000:.1f} ms/step, "
-        f"{iters_total/n_steps:.1f} fp-iters/step, "
-        f"{kry_total/n_steps:.0f} krylov-iters/step), final err={err:.2e}, "
-        f"last-solve res={eq.solver_stats[1]:.2e}")
 
     # production driver: Simulator_M auto-fuses the steps between output/
     # checkpoint boundaries into one device dispatch (solve_time_steps);
@@ -287,7 +279,8 @@ def main():
     # commit-only-if-converged semantics, the host syncs once per chunk.
     # A step the chunk could not converge is re-attempted pure-f64 from its
     # preserved entry state - exactly Simulator_M's retry flow - and counts
-    # toward the measured wall-clock.
+    # toward the measured wall-clock.  (The retry compiles the single-step
+    # program; it only runs if a chunk actually fails.)
     def run_chunk(ts_list):
         rows, retries = [], 0
         pending = list(ts_list)
@@ -312,10 +305,12 @@ def main():
             pending = pending[n_ok + 1:]
         return np.asarray(rows), retries
 
-    t00 = (n_steps + 2) * dt
-    run_chunk([t00 + k * dt for k in range(n_steps)])   # warmup/compile
     t0 = time.time()
-    t01 = t00 + n_steps * dt
+    run_chunk([(k + 1) * dt for k in range(n_steps)])   # warmup/compile
+    log(f"first fused chunk ({n_steps} steps, incl. compile): "
+        f"{time.time()-t0:.2f}s")
+    t0 = time.time()
+    t01 = (n_steps + 1) * dt
     stats, retries = run_chunk([t01 + k * dt for k in range(n_steps)])
     elapsed = time.time() - t0
     per_step = elapsed / n_steps
@@ -324,17 +319,69 @@ def main():
         f"fp-iters/step, {stats[:, 2].mean():.0f} krylov-iters/step, "
         f"{retries} f64 retries), final err={stats[-1, 1]:.2e}")
 
-    try:
-        bench_tm(eq)
-    except Exception as exc:  # secondary metric must not kill the headline
-        log(f"TM config failed: {exc}")
-
+    # ---- headline on stdout NOW; everything below is best-effort -------- #
     print(json.dumps({
         "metric": "newton_step_wallclock_cavern600",
         "value": round(per_step, 5),
         "unit": "s/step",
         "vs_baseline": round(REFERENCE_SECONDS_PER_STEP / per_step, 2),
-    }))
+    }), flush=True)
+
+    try:
+        if remaining() > 60:
+            bench_matvec(eq)
+        else:
+            log("skipping matvec section (budget)")
+    except Exception as exc:
+        log(f"matvec section failed: {exc}")
+
+    try:
+        if remaining() > 240:
+            bench_hostsync(eq, dt, n_steps)
+        else:
+            log("skipping per-step host-sync section (budget)")
+    except Exception as exc:
+        log(f"host-sync section failed: {exc}")
+
+    try:
+        if remaining() > 240:
+            bench_tm(eq)
+        else:
+            log("skipping TM section (budget)")
+    except Exception as exc:  # secondary metric must not kill the headline
+        log(f"TM config failed: {exc}")
+
+
+def bench_hostsync(eq, dt, n_steps):
+    """Reference-style per-step host-controlled loop (comparison mode).
+
+    Compiles the single-step program - a second multi-minute cold compile
+    through the tunnel, which is why this runs only after the headline."""
+    import jax
+    t_base = (3 * n_steps + 2) * dt
+    t0 = time.time()
+    ite, err = eq.solve_time_step(t_base, dt, tol=1e-8, maxiter=40)
+    jax.block_until_ready(eq.u)
+    log(f"first per-step solve (incl. compile): {time.time()-t0:.2f}s, "
+        f"iters={ite}, err={err:.2e}, krylov_total={eq.krylov_total}")
+    eq.commit_time_step(dt)
+
+    iters_total = 0
+    kry_total = 0
+    t0 = time.time()
+    for k in range(n_steps):
+        t = t_base + (k + 1) * dt
+        ite, err = eq.solve_time_step(t, dt, tol=1e-8, maxiter=40)
+        iters_total += ite
+        kry_total += eq.krylov_total
+        eq.commit_time_step(dt)
+    jax.block_until_ready(eq.u)
+    elapsed = time.time() - t0
+    log(f"{n_steps} steps (per-step host sync): {elapsed:.3f}s "
+        f"({elapsed/n_steps*1000:.1f} ms/step, "
+        f"{iters_total/n_steps:.1f} fp-iters/step, "
+        f"{kry_total/n_steps:.0f} krylov-iters/step), final err={err:.2e}, "
+        f"last-solve res={eq.solver_stats[1]:.2e}")
 
 
 if __name__ == "__main__":

@@ -22,7 +22,9 @@ from .materials import (
     ViscoplasticDesai, MohrCoulombViscoplastic, MatsuokaNakaiViscoplastic,
     MunsonDawsonCreep,
 )
-from .timecontrol import TimeControllerBase, TimeController, TimeControllerParabolic
+from .timecontrol import (TimeControllerBase, TimeController,
+                          TimeControllerParabolic, TimeControllerFromList,
+                          AdaptiveTimeController, build_time_list_by_dp_limit)
 from .mesh import Grid, GridHandlerGMSH, GridBox, GridBoxRegions
 from .fem import (LinearMomentumBase, LinearMomentum, HeatDiffusion,
                   SolverSettings)
@@ -42,6 +44,8 @@ __all__ = [
     "ViscoplasticDesai", "MohrCoulombViscoplastic",
     "MatsuokaNakaiViscoplastic", "MunsonDawsonCreep",
     "TimeControllerBase", "TimeController", "TimeControllerParabolic",
+    "TimeControllerFromList", "AdaptiveTimeController",
+    "build_time_list_by_dp_limit",
     "Grid", "GridHandlerGMSH", "GridBox", "GridBoxRegions",
     "LinearMomentumBase", "LinearMomentum", "HeatDiffusion", "SolverSettings",
     "MomentumBC", "HeatBC", "SaveFields", "ScreenPrinter",

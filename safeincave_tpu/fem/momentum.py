@@ -567,22 +567,41 @@ class LinearMomentum(LinearMomentumBase):
     # ------------------------------------------------------------------ #
     def _get_precond(self):
         """(P, apply): constant preconditioner arrays built eagerly from C +
-        the static Dirichlet mask (see build_preconditioner)."""
+        the static Dirichlet mask (see build_preconditioner).  In halo mode
+        the blocks live in the padded owner-sharded layout."""
         if self._precond is None:
             if not hasattr(self.bc, "mask"):
                 self.bc.update_dirichlet(0.0)
-            self._precond = build_preconditioner(self.kernel, self.mat.C,
-                                                 self.bc.mask, self.solver)
+            halo = getattr(self, "_halo", None)
+            if halo is not None:
+                from ..parallel.halo import halo_block_jacobi
+                self._precond = halo_block_jacobi(halo, self.mat.C,
+                                                  self.bc.mask)
+            else:
+                self._precond = build_preconditioner(
+                    self.kernel, self.mat.C, self.bc.mask, self.solver)
         return self._precond
+
+    def _make_solver(self, apply_M):
+        """Masked linear solver bound to the execution mode: halo
+        (owner-sharded Krylov, O(interface) comm per matvec) when
+        shard_equation(..., mode='halo') installed one, else the kernel
+        path (single-device SoA or replicated-psum SPMD)."""
+        zero_dir = getattr(self.bc, "all_zero_dirichlet", False)
+        halo = getattr(self, "_halo", None)
+        if halo is not None:
+            from ..parallel.halo import make_halo_masked_solver
+            return make_halo_masked_solver(halo, self.solver, apply_M,
+                                           zero_dirichlet=zero_dir)
+        return _make_masked_solver(self.kernel, self.solver, apply_M,
+                                   zero_dirichlet=zero_dir)
 
     def _get_jit_solve(self):
         """Cached jitted masked Krylov solve (CT, b, mask, u_bc, x0, P
         traced)."""
         if self._jit_solve is None:
             P, apply_M = self._get_precond()
-            solve_lin = _make_masked_solver(
-                self.kernel, self.solver, apply_M,
-                zero_dirichlet=getattr(self.bc, "all_zero_dirichlet", False))
+            solve_lin = self._make_solver(apply_M)
             rtol = self.solver.rtol
 
             @jax.jit
@@ -642,9 +661,8 @@ class LinearMomentum(LinearMomentumBase):
         trivial_error = (theta == 1.0) or (len(elems_ne) == 0)
         adaptive = self.solver.adaptive_rtol
         _, apply_M = self._get_precond()
-        solve_lin = _make_masked_solver(
-            kern, self.solver, apply_M,
-            zero_dirichlet=getattr(self.bc, "all_zero_dirichlet", False))
+        solve_lin = self._make_solver(apply_M)
+        halo = getattr(self, "_halo", None)
         rtol_floor = self.solver.rtol
         w_err = jnp.asarray([1., 1., 1., 2., 2., 2.])
         use_fp32 = (not trivial_error) and self.solver.fp32_enabled()
@@ -688,8 +706,12 @@ class LinearMomentum(LinearMomentumBase):
                 residual - the exact structure of the production ir_solve -
                 is the standard cure and costs one f64 matvec per pass.
                 The operator itself stays the f32 tangent; only the
-                residual arithmetic runs f64.
+                residual arithmetic runs f64.  In halo mode the same
+                structure runs on owner-sharded padded vectors with
+                O(interface) exchange per matvec.
                 """
+                if halo is not None:
+                    return _halo_solve32(CT, b, x0, rtol)
                 CT64 = CT.astype(jnp.float64)
                 mask64 = mask32.astype(jnp.float64)
                 ubc64 = ubc32.astype(jnp.float64)
@@ -717,6 +739,40 @@ class LinearMomentum(LinearMomentumBase):
                                      inner_rtol=inner_rtol,
                                      inner_maxiter=max_it, max_passes=4)
                 return x.astype(f32), k, res.astype(f32)
+
+            def _halo_solve32(CT, b, x0, rtol):
+                # CT is the f32 tangent in global element order (the
+                # sharded kernel's prep is the identity)
+                CT_l64 = halo.ct_to_local_traced(CT.astype(jnp.float64))
+                CT_l32 = halo.ct_to_local_traced(CT)
+                mp = halo.to_padded(mask32.astype(jnp.float64))
+                mp32 = mp.astype(f32)
+                up64 = halo.to_padded(ubc32.astype(jnp.float64))
+                bp = halo.to_padded(b.astype(jnp.float64))
+                x0p = halo.to_padded(x0.astype(jnp.float64))
+
+                def Aop_hi(x):
+                    return (mp * halo.matvec_pad(CT_l64, mp * x, mp)
+                            + (1.0 - mp) * x)
+
+                def Aop_lo(x):
+                    return (mp32 * halo.matvec_pad(CT_l32, mp32 * x, mp32)
+                            + (1.0 - mp32) * x)
+
+                def M_inv(r):
+                    return apply_M(P, r, mp32)
+
+                if zero_dir:
+                    b_eff = mp * bp
+                else:
+                    b_eff = (mp * (bp - halo.matvec_pad(CT_l64, up64, mp))
+                             + (1.0 - mp) * up64)
+                x, k, res = ir_solve(Aop_hi, Aop_lo, b_eff, x0p, M_inv,
+                                     inner_solve=solve_raw, rtol=rtol,
+                                     inner_rtol=inner_rtol,
+                                     inner_maxiter=max_it, max_passes=4)
+                return (halo.from_padded(x).astype(f32), k,
+                        res.astype(f32))
 
             def body(carry):
                 states, sv, eps_v, u, ite, err_prev, stats, _ = carry

@@ -199,10 +199,17 @@ class HaloMomentumSolver:
         self.conn_local = put(plan.conn_local, jnp.int32)
         self.grad_N_local = put(plan.grad_N_local)
         self.vol_local = put(plan.vol_local * plan.elem_pad)
+        # f32 twins for the mixed-precision Krylov path (f64 is software-
+        # emulated on TPU; the inner iterations run f32)
+        self.grad_N_local32 = self.grad_N_local.astype(jnp.float32)
+        self.vol_local32 = self.vol_local.astype(jnp.float32)
         self.send_idx = put(plan.send_idx, jnp.int32)
         self.halo_src = put(plan.halo_src, jnp.int32)
         self.rev_target = put(plan.rev_target, jnp.int32)
         self.node_perm = jnp.asarray(plan.node_perm, dtype=jnp.int32)
+        self.elem_gids_flat = jnp.asarray(plan.elem_gids.reshape(-1),
+                                          dtype=jnp.int32)
+        self.elem_pad_flat = jnp.asarray(plan.elem_pad.reshape(-1))
 
         ax = axis
         S, H, B = plan.S, plan.H, plan.B
@@ -252,6 +259,38 @@ class HaloMomentumSolver:
                       P(ax), P(ax)),
             out_specs=P(ax))
 
+        def _blockdiag_local(CT, conn, gradN, vol, rev_target):
+            """Nodal 3x3 diagonal blocks of the stiffness, owner-assembled
+            via the same reverse exchange as the matvec (the halo analog of
+            ShardedMomentumKernel.block_diagonal's psum)."""
+            CT, conn, gradN, vol = CT[0], conn[0], gradN[0], vol[0]
+            rev_target = rev_target[0]
+            E3 = jnp.eye(3, dtype=gradN.dtype)
+            gi = gradN[:, :, None, :]
+            ei = E3[None, None, :, :]
+            xx = ei[..., 0] * gi[..., 0]
+            yy = ei[..., 1] * gi[..., 1]
+            zz = ei[..., 2] * gi[..., 2]
+            xy = 0.5 * (ei[..., 0] * gi[..., 1] + ei[..., 1] * gi[..., 0])
+            xz = 0.5 * (ei[..., 0] * gi[..., 2] + ei[..., 2] * gi[..., 0])
+            yz = 0.5 * (ei[..., 1] * gi[..., 2] + ei[..., 2] * gi[..., 1])
+            eps6 = jnp.stack([xx, yy, zz, xy, xz, yz], axis=-1)  # (E,4,3,6)
+            sig6 = jnp.einsum("ekl,eajl->eajk", CT, eps6)
+            w = jnp.asarray([1., 1., 1., 2., 2., 2.], dtype=gradN.dtype)
+            blk = jnp.einsum("eajk,eaik,k,e->eaij", sig6, eps6, w, vol)
+            d_loc = jax.ops.segment_sum(blk.reshape(-1, 3, 3),
+                                        conn.reshape(-1),
+                                        num_segments=S + H + 1)
+            rev = jax.lax.all_gather(d_loc[S:S + H], ax)       # (D, H, 3, 3)
+            back = jax.ops.segment_sum(rev.reshape(-1, 3, 3), rev_target,
+                                       num_segments=S + 1)[:S]
+            return (d_loc[:S] + back)[None]
+
+        self._blockdiag = shard_map(
+            _blockdiag_local, mesh=mesh,
+            in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax)),
+            out_specs=P(ax))
+
     # -- layout conversion (outside the Krylov loop) ----------------------- #
     def to_padded(self, v):
         """(n_nodes, 3) replicated -> (D*S, 3) owner-sharded layout."""
@@ -285,3 +324,140 @@ class HaloMomentumSolver:
         D = self.plan.D
         return jax.device_put(CT_l.reshape(D, -1, 6, 6),
                               NamedSharding(self.mesh, P(self.axis)))
+
+    def ct_to_local_traced(self, CT):
+        """Traceable (jit-safe) variant of :meth:`ct_to_local`: one gather
+        per linearization (NOT per matvec), resharded by shard_map."""
+        pad = self.elem_pad_flat.astype(CT.dtype)
+        CT_l = CT[self.elem_gids_flat] * pad[:, None, None]
+        return CT_l.reshape(self.plan.D, -1, 6, 6)
+
+    def _geom(self, dtype):
+        if dtype == jnp.float32:
+            return self.grad_N_local32, self.vol_local32
+        return self.grad_N_local, self.vol_local
+
+    def matvec_pad(self, CT_local, u_pad, mask_pad):
+        """Dtype-polymorphic distributed A @ u (padded layout, masked
+        operator semantics applied by the caller)."""
+        D, S = self.plan.D, self.S
+        gradN, vol = self._geom(u_pad.dtype)
+        out = self._matvec(CT_local, u_pad.reshape(D, S, 3),
+                           mask_pad.reshape(D, S, 3), self.conn_local,
+                           gradN, vol, self.send_idx, self.halo_src,
+                           self.rev_target)
+        return out.reshape(D * S, 3)
+
+    def block_diagonal_padded(self, CT_local):
+        """Owner-assembled nodal 3x3 stiffness blocks, (D*S, 3, 3)."""
+        out = self._blockdiag(CT_local, self.conn_local, self.grad_N_local,
+                              self.vol_local, self.rev_target)
+        return out.reshape(self.plan.D * self.S, 3, 3)
+
+    def pad_rows(self, v):
+        """(n_nodes, ...) -> (D*S, ...) padded owner-major layout (traced)."""
+        out = jnp.zeros((self.plan.D * self.S,) + v.shape[1:], dtype=v.dtype)
+        return out.at[self.node_perm].set(v)
+
+
+def make_halo_masked_solver(halo: HaloMomentumSolver, settings, apply_M,
+                            zero_dirichlet: bool = False):
+    """Halo-layout counterpart of fem.momentum._make_masked_solver.
+
+    Same signature/contract - ``solve_lin(CT, b, mask, u_bc, x0, rtol, P)
+    -> (x, iters, res)`` with CT in GLOBAL element order and nodal vectors
+    in the replicated (n_nodes, 3) layout - but everything inside the Krylov
+    loop runs owner-sharded: layout conversion happens ONCE per solve
+    (4 gathers in, 1 out), each Krylov iteration communicates only
+    O(interface) halo rows (reference PETSc ghost updates,
+    MomentumEquation.py:915-922) plus scalar psums for the dot products
+    (GSPMD lowers the vdots over owner-sharded vectors to local partials +
+    all-reduce).  ``P`` holds padded block-Jacobi inverses.
+    """
+    from ..fem.solvers import ir_solve
+
+    solve = settings.solve_fn()
+    mixed = settings.precision == "mixed"
+
+    def solve_lin(CT, b, mask, u_bc, x0, rtol, P):
+        CT_l = halo.ct_to_local_traced(CT.astype(jnp.float64))
+        bp = halo.to_padded(b)
+        mp = halo.to_padded(mask)
+        up = halo.to_padded(u_bc)
+        x0p = halo.to_padded(x0)
+
+        def Aop(x):
+            return (mp * halo.matvec_pad(CT_l, mp * x, mp)
+                    + (1.0 - mp) * x)
+
+        def M_inv(r):
+            return apply_M(P, r, mp)
+
+        if zero_dirichlet:
+            b_eff = mp * bp
+        else:
+            b_eff = (mp * (bp - halo.matvec_pad(CT_l, up, mp))
+                     + (1.0 - mp) * up)
+        if mixed:
+            CT_l32 = halo.ct_to_local_traced(CT.astype(jnp.float32))
+            mp32 = mp.astype(jnp.float32)
+
+            def Aop32(x):
+                return (mp32 * halo.matvec_pad(CT_l32, mp32 * x, mp32)
+                        + (1.0 - mp32) * x)
+
+            def M_inv32(r):
+                return apply_M(P, r, mp32)
+
+            x, k, res = ir_solve(Aop, Aop32, b_eff, x0p, M_inv32,
+                                 inner_solve=solve, rtol=rtol,
+                                 inner_rtol=settings.inner_rtol,
+                                 inner_maxiter=settings.max_it,
+                                 max_passes=settings.max_passes)
+            b_norm = jnp.sqrt(jnp.vdot(b_eff.reshape(-1),
+                                       b_eff.reshape(-1)))
+            need_f64 = res > rtol * b_norm
+
+            def f64_finish(_):
+                x2, k2, res2 = solve(Aop, b_eff, x, M_inv, rtol=rtol,
+                                     maxiter=settings.max_it)
+                better = jnp.isfinite(res2) & (res2 < res)
+                return (jnp.where(better, x2, x), k + k2,
+                        jnp.where(better, res2, res))
+
+            x, k, res = jax.lax.cond(need_f64, f64_finish,
+                                     lambda _: (x, k, res), None)
+        else:
+            x, k, res = solve(Aop, b_eff, x0p, M_inv, rtol=rtol,
+                              maxiter=settings.max_it)
+        return halo.from_padded(x), k, res
+
+    return solve_lin
+
+
+def halo_block_jacobi(halo: HaloMomentumSolver, C, mask):
+    """Padded block-Jacobi preconditioner (P, apply) for the halo solver.
+
+    Blocks are owner-assembled with O(interface) exchange (the halo analog
+    of the psum'd blocks in the replicated path), masked, and inverted
+    locally.  ``apply`` expects padded residuals.
+    """
+    from ..linalg import inv3x3
+
+    C_l = halo.ct_to_local(jnp.asarray(C, dtype=jnp.float64))
+    blk = halo.block_diagonal_padded(C_l)
+    mp = halo.to_padded(jnp.asarray(mask, dtype=jnp.float64))
+    blk = blk * mp[:, :, None] * mp[:, None, :]
+    # padded / Dirichlet rows: identity keeps the blocks invertible
+    blk = blk + (1.0 - mp)[:, :, None] * jnp.eye(3)[None]
+    diag_ok = jnp.abs(blk[:, 0, 0]) + jnp.abs(blk[:, 1, 1]) \
+        + jnp.abs(blk[:, 2, 2]) > 0
+    blk = jnp.where(diag_ok[:, None, None], blk, jnp.eye(3)[None])
+    blk_inv = inv3x3(blk)
+
+    def apply_bj(P, r, m):
+        (inv,) = P
+        inv_t = jnp.transpose(inv, (1, 2, 0)).astype(r.dtype)
+        return (inv_t * r.T[None]).sum(1).T
+
+    return (blk_inv,), apply_bj

@@ -202,14 +202,26 @@ class ShardedMomentumKernel:
         return self._body(density, g_vec, self.conn, self.vol)
 
 
-def shard_equation(eq, mesh: Mesh | None = None, axis: str = "e"):
+def shard_equation(eq, mesh: Mesh | None = None, axis: str = "e",
+                   mode: str = "halo"):
     """Convert an assembled :class:`LinearMomentum` to SPMD execution.
 
     Pads every per-element array (kernel geometry, material operators and
     parameters, element ISV states, stress/strain fields) to a multiple of
     the device count and places them with a NamedSharding over ``axis``.
-    Nodal fields stay replicated.  The equation's fused jitted step then
-    compiles to an SPMD program with psum collectives.
+    Nodal fields stay replicated at step boundaries; the constitutive work
+    is communication-free either way.
+
+    ``mode`` selects the linear-solve communication pattern:
+
+    * ``"halo"`` (default, the production scaling path): the Krylov loop
+      runs on owner-sharded padded vectors with O(interface) halo exchange
+      per matvec and psum'd dot products - the TPU analog of the
+      reference's PETSc ghost updates (MomentumEquation.py:915-922);
+      layout conversion happens once per solve.
+    * ``"psum"``: each matvec scatter-adds into a replicated nodal vector
+      and psums it - O(n_nodes * D) comm per matvec.  Simpler, fine for a
+      few devices / small meshes; kept as the baseline and for tests.
     """
     if mesh is None:
         mesh = make_device_mesh(axis=axis)
@@ -254,6 +266,12 @@ def shard_equation(eq, mesh: Mesh | None = None, axis: str = "e"):
         for name in ("E", "nu", "C", "C_inv", "C_tilde", "C_tilde_inv", "K"):
             if hasattr(elem, name):
                 setattr(elem, name, pad_put(getattr(elem, name)))
+
+    if mode == "halo":
+        from .halo import HaloMomentumSolver
+        eq._halo = HaloMomentumSolver(eq.grid, mesh, axis=axis)
+    else:
+        eq._halo = None
 
     # invalidate jit caches (kernel changed).  This includes the TM
     # multi-step driver (its closure captures the pre-sharding kernel), the

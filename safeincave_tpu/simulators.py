@@ -80,6 +80,11 @@ class Simulator_M(Simulator):
         cap = self.fused_steps
         if cap == "auto":
             cap = 64
+            # an adaptive controller can only change dt at chunk
+            # boundaries (all steps inside a chunk share the dt planned at
+            # entry), so bound the feedback latency to a few steps
+            if hasattr(self.t_control, "feedback"):
+                cap = 4
         if not cap or cap <= 1:
             return 1
         eq = self.eq_mom
@@ -148,6 +153,10 @@ class Simulator_M(Simulator):
                 f"{current_time} / {tc.t_final / tc.time_conversion}",
                 int(stats[k, 0]), float(stats[k, 1]),
             ])
+        if n_ok and hasattr(tc, "feedback"):
+            # adaptive controller: adapt the NEXT chunk's dt from this
+            # chunk's mean fixed-point work (all steps converged => 0 cuts)
+            tc.feedback(float(stats[:n_ok, 0].mean()), dt_cuts=0)
         if n_ok == len(ts):
             for output in self.outputs:
                 output.skip_calls(n_ok - 1)
@@ -280,6 +289,8 @@ class Simulator_M(Simulator):
                 # fused single-dispatch commit (== update_internal_variables
                 # + update_eps_ne_rate_old + update_eps_ne_old)
                 eq.commit_time_step(dt_current, stress, stress_k)
+                if hasattr(tc, "feedback"):
+                    tc.feedback(ite, dt_cuts=dt_cut)
 
             self._save_derived_and_outputs(t)
             if self.metrics is not None:

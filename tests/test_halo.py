@@ -69,3 +69,102 @@ class TestHaloMatvec:
         plan = HaloPlan(grid, 8)
         sizes = np.bincount(plan.elem_part, minlength=plan.D)
         assert sizes.min() >= 0.8 * sizes.max()
+
+
+def _wire(grid):
+    momBC = sc.MomentumBC
+    eq = sc.LinearMomentum(grid, theta=0.5)
+    eq.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12,
+                                    max_it=400))
+    n = eq.n_elems
+    one = jnp.ones(n)
+    mat = sc.Material(n)
+    mat.set_density(2000.0 * one)
+    mat.add_to_elastic(sc.Spring(102e9 * one, 0.3 * one))
+    mat.add_to_non_elastic(sc.Viscoelastic(105e11 * one, 10e9 * one,
+                                           0.32 * one))
+    mat.add_to_non_elastic(sc.DislocationCreep(1.9e-20 * one, 51600 * one,
+                                               3.0 * one))
+    eq.set_material(mat)
+    eq.set_T0(298.0 * one)
+    eq.set_T(298.0 * one)
+    eq.build_body_force([0.0, 0.0, 0.0])
+    bc = momBC.BcHandler(eq)
+    tv = [0.0, 1e9]
+    names = grid.get_boundary_names()
+    for nm, comp in (("WEST", 0), ("SOUTH", 1), ("BOTTOM", 2)):
+        if nm in names:
+            bc.add_boundary_condition(momBC.DirichletBC(nm, comp,
+                                                        [0., 0.], tv))
+    for nm in ("TOP", "Top"):
+        if nm in names:
+            bc.add_boundary_condition(momBC.NeumannBC(
+                nm, 2, 0.0, 0.0, [10e6, 10e6], tv, g=0.0))
+    eq.set_boundary_conditions(bc)
+    return eq
+
+
+def _msteps(eq, n=3, dt=3600.0):
+    eq.bc.update_dirichlet(0.0)
+    eq.bc.update_neumann(0.0)
+    eq.solve_elastic_response()
+    eps = eq.compute_total_strain()
+    eq.compute_elastic_stress(eps)
+    eq.compute_eps_ne_rate(eq.sig_v, 0.0)
+    eq.update_eps_ne_rate_old()
+    stats = eq.solve_time_steps([(k + 1) * dt for k in range(n)], [dt] * n,
+                                tol=1e-8, maxiter=40)
+    assert (stats[:, 5] > 0.5).all(), stats
+    return np.asarray(eq.u), np.asarray(eq.sig_v)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+class TestHaloProductionSolver:
+    """shard_equation(mode='halo'): the full fused multi-step program with
+    the owner-sharded Krylov loop (VERDICT round-1 item 4)."""
+
+    def test_fused_msteps_matches_single_device(self):
+        from safeincave_tpu.parallel import shard_equation
+        eq_ref = _wire(_grid(nx=4))
+        u_ref, sv_ref = _msteps(eq_ref)
+
+        eq_h = _wire(_grid(nx=4))
+        n_orig = eq_h.n_elems
+        shard_equation(eq_h, make_device_mesh(), mode="halo")
+        assert eq_h._halo is not None
+        u_h, sv_h = _msteps(eq_h)
+
+        scale = np.abs(u_ref).max()
+        np.testing.assert_allclose(u_h, u_ref, rtol=1e-9,
+                                   atol=1e-9 * scale)
+        np.testing.assert_allclose(sv_h[:n_orig], sv_ref, rtol=1e-8,
+                                   atol=0.1)
+
+    @pytest.mark.slow
+    def test_cavern_msteps_matches_single_device(self):
+        """cavern_600-class mesh over 8 virtual devices: the VERDICT 'Done'
+        criterion (halo fused steps match single-device to 1e-9 with
+        O(interface) comm per matvec)."""
+        import os
+        from safeincave_tpu.utils import find_grid
+        from safeincave_tpu.parallel import shard_equation
+
+        path = find_grid("cavern_regular_600_3D", fallback="cavern_proxy_600")
+        g1 = sc.GridHandlerGMSH("geom", path)
+        eq_ref = _wire(g1)
+        u_ref, sv_ref = _msteps(eq_ref, n=2)
+
+        g2 = sc.GridHandlerGMSH("geom", path)
+        eq_h = _wire(g2)
+        n_orig = eq_h.n_elems
+        shard_equation(eq_h, make_device_mesh(), mode="halo")
+        plan = eq_h._halo.plan
+        # O(interface): each device ships a few boundary layers, not the mesh
+        assert plan.comm_volume_per_matvec() < 0.35 * g2.n_nodes
+        u_h, sv_h = _msteps(eq_h, n=2)
+
+        scale = np.abs(u_ref).max()
+        np.testing.assert_allclose(u_h, u_ref, rtol=1e-9,
+                                   atol=1e-9 * scale)
+        np.testing.assert_allclose(sv_h[:n_orig], sv_ref, rtol=1e-8,
+                                   atol=0.1)

@@ -63,14 +63,15 @@ def _run_steps(eq, n_steps=2, dt=3600.0):
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
 class TestShardedExecution:
-    def test_matches_single_device(self):
+    @pytest.mark.parametrize("mode", ["halo", "psum"])
+    def test_matches_single_device(self, mode):
         grid, eq_ref = _build(nx=3)
         u_ref, sv_ref = _run_steps(eq_ref)
 
         grid2, eq_sh = _build(nx=3)
         n_orig = eq_sh.n_elems
         mesh = make_device_mesh()
-        shard_equation(eq_sh, mesh)
+        shard_equation(eq_sh, mesh, mode=mode)
         assert eq_sh.n_elems % mesh.devices.size == 0
         u_sh, sv_sh = _run_steps(eq_sh)
 
