@@ -109,7 +109,14 @@ def cavern_proxy(name="cavern_proxy_600", L=600.0, H=800.0, n=14):
          remap[np.asarray(new_tris)], np.asarray(new_tags), fd)
 
 
+def cavern_proxy_1200():
+    """1200-class proxy (stands in for grids/cavern_regular_1200_3D:
+    7.5k nodes / 41k tets)."""
+    cavern_proxy(name="cavern_proxy_1200", L=1200.0, H=1600.0, n=18)
+
+
 if __name__ == "__main__":
     cube()
     cube_regions()
     cavern_proxy()
+    cavern_proxy_1200()

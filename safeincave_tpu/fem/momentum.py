@@ -952,6 +952,20 @@ class LinearMomentum(LinearMomentumBase):
                 x0 = mask * u + (1.0 - mask) * u_bc
                 u_new, kry, lin_res = solve_lin(CT, b, mask, u_bc, x0,
                                                 lin_rtol, P)
+                # solve-acceptance gate: BiCGStab can DIVERGE outright on a
+                # near-singular tangent (e.g. Perzyna-softened elements with
+                # collapsed hardening make CT locally ~0 and the elastic
+                # preconditioner useless).  A diverged iterate fed into the
+                # stress update launches a stress->rate->tangent NaN cascade
+                # that looks like a physics failure; gate it here so the
+                # step fails CLEANLY (err=inf -> dt-retry), mirroring the
+                # f32 sweep's u_ok acceptance test.
+                b_norm = jnp.sqrt(jnp.vdot((mask * b).reshape(-1),
+                                           (mask * b).reshape(-1)))
+                solve_ok = (jnp.isfinite(lin_res)
+                            & (lin_res <= 10.0 * b_norm + 1e-30)
+                            & jnp.isfinite(jnp.vdot(u_new.reshape(-1),
+                                                    u_new.reshape(-1))))
                 # strain, stress (reference :844-866)
                 eps_new = kern.strain(u_new)
                 sv_new = kern.apply66(CT, eps_new - eps_rhs)
@@ -971,8 +985,10 @@ class LinearMomentum(LinearMomentumBase):
                 # a frozen displacement (e.g. a NaN RHS makes the Krylov
                 # solve a 0-iteration no-op) would otherwise read as
                 # "converged" on the strain-change criterion.  err=inf exits
-                # the loop as a failed step -> dt-retry.
-                err = jnp.where(jnp.isfinite(sv_new).all(), err, jnp.inf)
+                # the loop as a failed step -> dt-retry.  Same for a
+                # diverged linear solve (see solve_ok above).
+                err = jnp.where(jnp.isfinite(sv_new).all() & solve_ok,
+                                err, jnp.inf)
                 kry_tot, _, _ = stats
                 stats = (kry_tot + kry, kry, lin_res)
                 return (states3, sv_new, eps_new, u_new, sv_k, ite + 1, err,
@@ -1139,9 +1155,13 @@ class LinearMomentum(LinearMomentumBase):
         def _tm(states, sv, eps_v, u, u_prev, b_body, T, T_old, hk, hrho,
                 hcp, T0, ts, dts, n_real, tol, maxiter, P):
             def one(carry, tdi):
-                states, sv, eps_v, u, u_prev, T, T_old = carry
+                states, sv, eps_v, u, u_prev, T, T_old, failed = carry
                 t, dt, i = tdi
-                active = i < n_real
+                # commit-only-if-converged, like the mechanics multi-step
+                # driver: on the first non-converged step the chunk goes
+                # inert and the carry keeps that step's ENTRY state
+                # (including the heat field) as the dt-retry restore point
+                active = (~failed) & (i < n_real)
 
                 def run_heat(_):
                     x, it, res = hstep(T, T_old, hk, hrho, hcp, t, dt)
@@ -1162,33 +1182,41 @@ class LinearMomentum(LinearMomentumBase):
                 (st_n, sv_n, eps_n, u_n, sv_k, ite, err, stats) = fp(
                     states, sv, eps_v, x0, b_ext, mask, u_bc, eps_th, Temp,
                     dt, tol, maxiter, active, P)
+                conv = active & jnp.isfinite(err) & (err <= tol)
 
-                def on_active(_):
+                def on_conv(_):
                     return (commit(st_n, sv_n, sv_k, dt), sv_n, eps_n, u_n,
-                            u, T_new, T_new)
+                            u, T_new, T_new, failed)
 
-                def on_inert(_):
-                    return (states, sv, eps_v, u, u_prev, T, T_old)
+                def on_fail(_):
+                    return (states, sv, eps_v, u, u_prev, T, T_old,
+                            failed | active)
 
-                new_carry = jax.lax.cond(active, on_active, on_inert, None)
+                new_carry = jax.lax.cond(conv, on_conv, on_fail, None)
                 kry_tot, _, _ = stats
                 row = jnp.stack([h_it, h_res, ite.astype(jnp.float64), err,
                                  kry_tot.astype(jnp.float64),
-                                 active.astype(jnp.float64)])
+                                 conv.astype(jnp.float64)])
                 return new_carry, row
 
             idx = jnp.arange(ts.shape[0], dtype=jnp.int64)
-            init = (states, sv, eps_v, u, u_prev, T, T_old)
+            init = (states, sv, eps_v, u, u_prev, T, T_old,
+                    jnp.asarray(False))
             carry, rows = jax.lax.scan(one, init, (ts, dts, idx))
-            return carry, rows
+            return carry[:7], rows
 
         return _tm
 
     def solve_tm_time_steps(self, heat, ts, dts, tol=1e-6, maxiter=20):
-        """Advance len(ts) coupled TM steps (heat + momentum + commit) in
-        ONE device dispatch.  Mutates this equation AND ``heat``.  Returns a
-        (K, 6) array of per-step rows
-        ``[heat_iters, heat_res, fp_iters, error, krylov_total, ran]``.
+        """Advance up to len(ts) coupled TM steps (heat + momentum + commit)
+        in ONE device dispatch.  Mutates this equation AND ``heat``.
+
+        Commit-only-if-converged: on the first step whose fixed point does
+        not reach ``tol`` the equation AND heat field are left at that
+        step's ENTRY state (the dt-retry restore point) and the remaining
+        steps are skipped.  Returns a (K, 6) array of per-step rows
+        ``[heat_iters, heat_res, fp_iters, error, krylov_total, converged]``
+        (after the first converged=0 row the remaining steps did not run).
         """
         key = (id(self.mat), id(self.bc), self.solver.method,
                self.solver.rtol, self.solver.max_it, self.solver.precision,
@@ -1228,9 +1256,14 @@ class LinearMomentum(LinearMomentumBase):
         heat.T_old = T_old
         self.Temp = heat.get_T_elems()
         stats = np.asarray(rows)[:n_real]   # one transfer for the chunk
-        if n_real:
-            heat.solver_stats = (int(stats[-1, 0]), float(stats[-1, 1]))
-            self.krylov_total = int(stats[-1, 4])
+        done = stats[:, 5] > 0.5
+        if done.any():
+            last = int(np.nonzero(done)[0][-1])
+            heat.solver_stats = (int(stats[last, 0]), float(stats[last, 1]))
+            self.krylov_total = int(stats[last, 4])
+        else:
+            heat.solver_stats = (0, float("nan"))
+            self.krylov_total = 0
         self.run_after_solve()
         return stats
 

@@ -94,7 +94,8 @@ class ViscoplasticDesai(NonElasticElement):
         """
         I1c = jnp.maximum(I1s, 1e-12)
         F1 = alpha * I1c ** p["n"] - p["gamma"] * I1s ** 2
-        F2 = jnp.exp(p["beta_1"] * I1s) - p["beta"] * Sr
+        F2 = jnp.exp(jnp.clip(p["beta_1"] * I1s, -50.0, 50.0)) \
+            - p["beta"] * Sr
         F2 = jnp.maximum(F2, ViscoplasticDesai.F2_MIN)
         return J2s + F1 * F2 ** p["m"]
 
@@ -121,12 +122,18 @@ class ViscoplasticDesai(NonElasticElement):
 
         # Flow direction dF/dsigma via the (I1, J2, J3) chain rule (:1329-1407)
         F1 = -alpha * I1c ** p["n"] + p["gamma"] * I1s ** 2
-        F2 = jnp.exp(p["beta_1"] * I1s) - p["beta"] * Sr
+        # exp clamped at +-50: only active beyond ~10 GPa |I1| (far outside
+        # the physical range), but keeps a transiently-garbage Krylov
+        # iterate from turning into inf*0=NaN downstream
+        F2 = jnp.exp(jnp.clip(p["beta_1"] * I1s, -50.0, 50.0)) \
+            - p["beta"] * Sr
         f2_neg = F2 < ViscoplasticDesai.F2_MIN
         F2 = jnp.maximum(F2, ViscoplasticDesai.F2_MIN)
 
         dF1_dI1 = 2 * p["gamma"] * I1s - p["n"] * alpha * I1c ** (p["n"] - 1)
-        dF2m_dI1 = p["beta_1"] * p["m"] * jnp.exp(p["beta_1"] * I1s) * F2 ** (p["m"] - 1)
+        dF2m_dI1 = (p["beta_1"] * p["m"]
+                    * jnp.exp(jnp.clip(p["beta_1"] * I1s, -50.0, 50.0))
+                    * F2 ** (p["m"] - 1))
         dF_dI1 = -(dF1_dI1 * F2 ** p["m"] + F1 * dF2m_dI1)
 
         dF2_dJ2 = -(3 * p["beta"] * J3 * _SQRT27) / (4 * J2s ** 2.5)

@@ -146,18 +146,30 @@ def calibrate(build_result_fn, params0: dict, observed, lr: float = 0.05,
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
     history = []
-    # Adam in log-space
+    # Adam in log-space with cosine lr decay; the returned parameters are
+    # the BEST-loss iterate, not the last one (long runs can oscillate in
+    # the flat A-n valleys of creep laws without this)
     m = {k: jnp.zeros_like(v) for k, v in log_params.items()}
     v2 = {k: jnp.zeros_like(v) for k, v in log_params.items()}
     b1, b2, eps = 0.9, 0.999, 1e-8
+    best_loss, best = np.inf, dict(log_params)
     for i in range(steps):
         loss, g = grad_fn(log_params)
         history.append(float(loss))
+        if history[-1] < best_loss:
+            best_loss, best = history[-1], dict(log_params)
+        lr_i = lr * (0.05 + 0.95 * 0.5
+                     * (1 + np.cos(np.pi * i / max(steps - 1, 1))))
         for k in log_params:
             m[k] = b1 * m[k] + (1 - b1) * g[k]
             v2[k] = b2 * v2[k] + (1 - b2) * g[k] ** 2
             mhat = m[k] / (1 - b1 ** (i + 1))
             vhat = v2[k] / (1 - b2 ** (i + 1))
-            log_params[k] = log_params[k] - lr * mhat / (jnp.sqrt(vhat) + eps)
-    fitted = {k: np.asarray(jnp.exp(v)) for k, v in log_params.items()}
+            log_params[k] = log_params[k] - lr_i * mhat / (jnp.sqrt(vhat)
+                                                           + eps)
+    loss, _ = grad_fn(log_params)
+    if float(loss) < best_loss:
+        best_loss, best = float(loss), dict(log_params)
+    history.append(best_loss)
+    fitted = {k: np.asarray(jnp.exp(v)) for k, v in best.items()}
     return fitted, history

@@ -444,6 +444,7 @@ class Simulator_TM(Simulator):
 
     tol = 1e-6
     maxiter = 20
+    max_dt_cuts = 3
 
     def __init__(self, eq_mom, eq_heat, t_control, outputs,
                  compute_elastic_response: bool = True,
@@ -461,8 +462,8 @@ class Simulator_TM(Simulator):
     # ------------------------------------------------------------------ #
     def _plan_chunk_size(self) -> int:
         """Steps per fused TM dispatch (see Simulator_M._plan_chunk_size;
-        the TM loop has no dt-retry, so a chunk is always fully committed -
-        reference Simulators.py:177-265 semantics)."""
+        a chunk commits only its converged prefix - a failed step rewinds
+        to the per-step dt-retry flow)."""
         cap = self.fused_steps
         if cap == "auto":
             cap = 64
@@ -486,8 +487,12 @@ class Simulator_TM(Simulator):
         return max(int(cap), 1)
 
     def _run_fused_chunk(self, chunk: int) -> bool:
+        """Advance up to ``chunk`` fused TM steps.  Returns True when every
+        planned step converged; on a failed step the equation AND heat field
+        hold that step's ENTRY state, the controller is rewound to it, and
+        the caller's per-step dt-retry flow re-attempts it."""
         eq, heat, tc = self.eq_mom, self.eq_heat, self.t_control
-        s0 = tc.step_counter
+        s0, t0 = tc.step_counter, tc.t
         ts, dts = [], []
         while tc.keep_looping() and len(ts) < chunk:
             tc.advance_time()
@@ -497,17 +502,25 @@ class Simulator_TM(Simulator):
             return True
         stats = eq.solve_tm_time_steps(heat, ts, dts, tol=self.tol,
                                        maxiter=self.maxiter)
-        for k in range(len(ts)):
+        conv = (stats[:, 5] > 0.5).astype(int)
+        n_ok = int(conv.cumprod().sum())
+        for k in range(n_ok):
             current_time = "%.3f" % (ts[k] / tc.time_conversion)
             self.screen.print_row([
                 s0 + 1 + k, dts[k] / tc.time_conversion,
                 f"{current_time} / {tc.t_final / tc.time_conversion}",
                 int(stats[k, 2]), float(stats[k, 3]),
             ])
+        if n_ok == len(ts):
+            for output in self.outputs:
+                output.skip_calls(n_ok - 1)
+            self._save_derived_and_outputs(ts[-1])
+            return True
         for output in self.outputs:
-            output.skip_calls(len(ts) - 1)
-        self._save_derived_and_outputs(ts[-1])
-        return True
+            output.skip_calls(n_ok)
+        tc.step_counter = s0 + n_ok
+        tc.t = ts[n_ok - 1] if n_ok else t0
+        return False
 
     def run(self):
         eq = self.eq_mom
@@ -542,24 +555,60 @@ class Simulator_TM(Simulator):
 
         while tc.keep_looping():
             chunk = self._plan_chunk_size()
-            if chunk > 1 and self._run_fused_chunk(chunk):
-                continue
+            fused_failed = False
+            if chunk > 1:
+                if self._run_fused_chunk(chunk):
+                    continue
+                fused_failed = True
             tc.advance_time()
             t, dt = tc.t, tc.dt
 
             eq.bc.update_dirichlet(t)
             eq.bc.update_neumann(t)
 
-            heat.solve(t, dt)
-            eq.set_T(heat.get_T_elems())
+            # dt-halving retry net around the coupled step (beyond the
+            # reference Simulator_TM, which commits unconditionally -
+            # Simulators.py:177-265; the hardening linearization can
+            # overshoot under large thermal-stress increments and the only
+            # cure is a smaller dt, exactly like Simulator_M's retry)
+            stress_backup, eps_backup, u_backup = eq.sig_v, eq.eps_tot_v, eq.u
+            T_backup, T_old_backup = heat.T, heat.T_old
+            eq.save_internal_state()
 
-            ite, error = eq.solve_time_step(t, dt, tol=self.tol,
-                                            maxiter=self.maxiter)
-            stress = eq.sig_v
-            eps_tot = eq.eps_tot_v
-            stress_k = eq._last_sv_k
+            def restore():
+                eq.sig_v, eq.eps_tot_v, eq.u = (stress_backup, eps_backup,
+                                                u_backup)
+                eq._last_sv_k = stress_backup
+                eq.restore_internal_state()
+                heat.T, heat.T_old = T_backup, T_old_backup
 
-            eq.commit_time_step(dt, stress, stress_k)
+            dt_current = dt
+            dt_cut = 0
+            step_converged = False
+            ite, error = 0, 2 * self.tol
+            while not step_converged and dt_cut <= self.max_dt_cuts:
+                eq._fp32_disable = dt_cut > 0 or fused_failed
+                heat.solve(t, dt_current)
+                eq.set_T(heat.get_T_elems())
+                ite, error = eq.solve_time_step(t, dt_current, tol=self.tol,
+                                                maxiter=self.maxiter)
+                if not np.isnan(error) and error <= self.tol:
+                    step_converged = True
+                else:
+                    dt_cut += 1
+                    restore()
+                    if dt_cut <= self.max_dt_cuts:
+                        import sys
+                        print(f"[SOLVER] TM step {tc.step_counter}: "
+                              f"{'NaN' if np.isnan(error) else 'no convergence'}"
+                              f" after {ite} iters - halving dt, "
+                              f"retry {dt_cut}/{self.max_dt_cuts}",
+                              file=sys.stderr)
+                        dt_current = dt_current / 2
+            eq._fp32_disable = False
+
+            if step_converged:
+                eq.commit_time_step(dt_current, eq.sig_v, eq._last_sv_k)
 
             self._save_derived_and_outputs(t)
             current_time = "%.3f" % (t / tc.time_conversion)

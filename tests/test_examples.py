@@ -96,3 +96,63 @@ def test_thermomechanics_cavern_staged(tmp_path, monkeypatch):
     assert os.path.isfile(out / "equilibrium" / "u" / "u.xdmf")
     assert os.path.isfile(out / "operation" / "u" / "u.xdmf")
     assert os.path.isfile(out / "operation" / "T" / "T.xdmf")
+
+
+def test_multimodel_calibration_recovers_params():
+    """Exact-gradient fits on the staged triaxial schedule recover the
+    strongly-identified (A, n) pair of both creep models to a few percent
+    (reference MaterialCalibration/calibrate_newdata.py two-model workflow;
+    the full 4-parameter fits in the example demo the workflow but A-n /
+    eta-E1 trade-offs cap pointwise recovery there)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import safeincave_tpu as sc
+    sys.path.insert(0, os.path.join(EXAMPLES, "mechanics",
+                                    "MaterialCalibration"))
+    import calibrate_multimodel as cm
+
+    t_s, s1, s3, _ = cm.staged_schedule()
+    true = {"A": 1.9e-20, "n": 3.0}
+    fixed = {"eta": jnp.asarray(1.05e14), "E1": jnp.asarray(10e9)}
+    obs = np.asarray(cm.sic_axial_strain(
+        {**fixed, "A": jnp.asarray(true["A"]), "n": jnp.asarray(true["n"])},
+        t_s, s1, s3))
+
+    fitted, hist = sc.calibrate(
+        lambda p: cm.sic_axial_strain({**p, **fixed}, t_s, s1, s3),
+        params0={"A": 6e-20, "n": 2.5}, observed=obs,
+        lr=0.05, steps=2000, loss_scale=np.abs(obs).max())
+    assert hist[-1] < 1e-4 * hist[0]
+    # identifiability: the 10/14/18 MPa staged schedule pins the
+    # COMBINATION A * q_ref^n (strain rate at the mid stage) tightly, while
+    # the (A, n) pair individually sits in a flat valley with
+    # dlog10(A) = -dn * log10(q_ref) - so assert the physical rate and a
+    # loose n (which still clearly rejects the n=2.5 start)
+    q_ref = 14e6
+    rate_fit = np.log10(float(fitted["A"])) + float(fitted["n"]) \
+        * np.log10(q_ref)
+    rate_true = np.log10(true["A"]) + true["n"] * np.log10(q_ref)
+    assert abs(rate_fit - rate_true) < 0.02
+    assert abs(float(fitted["n"]) - true["n"]) < 0.12
+
+    # Munson-Dawson: transient parameters (K0, delta) with steady-state
+    # fixed - the element physics reused from the FE solver
+    true_md = {"K0": 1e7, "delta": 0.58}
+    fixed_md = {"A": jnp.asarray(1.9e-20), "n": jnp.asarray(3.0)}
+    obs_md = np.asarray(cm.md_axial_strain(
+        {**fixed_md, "K0": jnp.asarray(true_md["K0"]),
+         "delta": jnp.asarray(true_md["delta"])}, t_s, s1, s3))
+    fitted_md, hist_md = sc.calibrate(
+        lambda p: cm.md_axial_strain({**p, **fixed_md}, t_s, s1, s3),
+        params0={"K0": 3e6, "delta": 0.3}, observed=obs_md,
+        lr=0.05, steps=2000, loss_scale=np.abs(obs_md).max())
+    assert hist_md[-1] < 1e-4 * hist_md[0]
+    assert abs(np.log10(float(fitted_md["K0"]) / true_md["K0"])) < 0.1
+    # delta (the recovery exponent) is only weakly identified - the
+    # post-unload recovery strain is a tiny fraction of the record - so
+    # assert predictive accuracy of the fitted model instead of pointwise
+    # delta recovery
+    pred = np.asarray(cm.md_axial_strain(
+        {k: jnp.asarray(v) for k, v in fitted_md.items()} | fixed_md,
+        t_s, s1, s3))
+    assert np.abs(pred - obs_md).max() < 2e-2 * np.abs(obs_md).max()
