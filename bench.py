@@ -67,9 +67,11 @@ def build(nx=17):
     except FileNotFoundError:
         cav = None
     if cav is not None:
-        grid = sc.GridHandlerGMSH("geom", cav, reorder="morton")
+        # band (RCM) ordering serves BOTH the Pallas band matvec's static
+        # schedule and gather locality for the cumsum f64 path
+        grid = sc.GridHandlerGMSH("geom", cav, reorder="band")
         log(f"mesh: {os.path.basename(cav)} ({grid.n_nodes} nodes, "
-            f"{grid.n_elems} tets, morton-reordered)")
+            f"{grid.n_elems} tets, band-reordered)")
         names = grid.get_boundary_names()
     else:
         grid = sc.GridBox(Lx=600.0, Ly=600.0, Lz=800.0, nx=nx, ny=nx, nz=nx)
@@ -81,9 +83,15 @@ def build(nx=17):
     # this tangent despite 2 matvecs/iteration (fewer, more productive
     # iterations).  max_it is the per-refinement-pass f32 Krylov cap;
     # coarse_agg=8 trades a slightly larger dense coarse space for fewer
-    # iterations.
+    # iterations.  adaptive_rtol: with the dense preconditioner one
+    # BiCGStab iteration reaches 1e-6 (measured: probe on the 1h creep
+    # tangent), so the per-iteration cost is DOMINATED by grinding every
+    # linearized solve to rtol=1e-12 through f64 defect-correction passes;
+    # Eisenstat-Walker solves only as tight as the fixed-point error needs
+    # while convergence is still only declared after a full-rtol solve.
     eq.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12,
-                                    max_it=400, coarse_agg=8))
+                                    max_it=400, coarse_agg=8,
+                                    adaptive_rtol=True))
     n = eq.n_elems
     log("building material...")
     one = np.ones(n)
@@ -139,6 +147,14 @@ def build(nx=17):
             bc.add_boundary_condition(momBC.NeumannBC(
                 nm, 2, 0.0, 0.0, list(p_sched), list(t_sched), g=0.0))
     eq.set_boundary_conditions(bc)
+    if cav is not None:
+        # Pallas band matvec as the f32 Krylov operator (the grid above is
+        # band-ordered); the f64 defect-correction path keeps the cumsum
+        # kernel, so converged fields are unchanged
+        try:
+            eq.enable_band_matvec()
+        except ValueError as exc:
+            log(f"band matvec disabled: {exc}")
     return eq
 
 
@@ -173,6 +189,29 @@ def bench_matvec(eq):
         mdofs = 3 * N / dt_iter / 1e6
         log(f"matvec[{np.dtype(dtype).name}]: {dt_iter*1e6:.0f} us "
             f"({mdofs:.0f} MDOF/s, ~{gbps:.0f} GB/s = "
+            f"{100*gbps/HBM_GBPS:.0f}% of HBM roofline)")
+
+    if getattr(kern, "band", None) is not None:
+        ctp = kern.band_pack_ct(kern.prep(eq.mat.C.astype(jnp.float32)))
+        u = jnp.asarray(np.random.default_rng(0).normal(size=(N, 3)),
+                        dtype=jnp.float32)
+
+        @jax.jit
+        def many_band(u):
+            def body(_, v):
+                w = kern.band_matvec(ctp, v)
+                return w / jnp.sqrt(jnp.vdot(w.reshape(-1), w.reshape(-1)))
+            return jax.lax.fori_loop(0, 50, body, u)
+
+        jax.block_until_ready(many_band(u))
+        t0 = time.time()
+        jax.block_until_ready(many_band(u))
+        dt_iter = (time.time() - t0) / 50
+        elem_bytes = (12 + 12 + 1 + 36 + 12) * 4 * E
+        node_bytes = 2 * 3 * 4 * N
+        gbps = (elem_bytes + node_bytes) / dt_iter / 1e9
+        log(f"matvec[pallas-band f32]: {dt_iter*1e6:.0f} us "
+            f"({3*N/dt_iter/1e6:.0f} MDOF/s, ~{gbps:.0f} GB/s = "
             f"{100*gbps/HBM_GBPS:.0f}% of HBM roofline)")
 
 

@@ -83,6 +83,36 @@ class MomentumKernel:
         self._scat_perm = jnp.asarray(perm, dtype=jnp.int32)
         self._scat_starts = jnp.asarray(starts, dtype=jnp.int32)
         self._scat_ends = jnp.asarray(ends + 0, dtype=jnp.int32)
+        self.band = None          # optional Pallas band backend (f32 path)
+
+    def enable_band(self, interpret: bool = False):
+        """Switch the f32 stiffness action to the Pallas band kernel
+        (fem/bandkernel.py).  Requires the grid to be band-ordered
+        (mesh/reorder.reordered_grid(grid, method='band')): the static
+        lane-shuffle schedule exists only for RCM-banded connectivity.
+        The f64 defect-correction matvec keeps the cumsum path.
+        """
+        from .bandplan import BandPlan
+        from .bandkernel import BandMatvec
+        plan = BandPlan.build(np.asarray(self.conn), self.n_nodes)
+        # a non-banded ordering produces enormous windows - refuse early
+        # rather than compile a kernel with hundreds of gather slices
+        if plan.Wg > 64 or plan.Ws > 64:
+            raise ValueError(
+                f"connectivity is not band-ordered (gather window Wg="
+                f"{plan.Wg}, scatter Ws={plan.Ws}); rebuild the grid with "
+                f"reorder='band'")
+        self.band = BandMatvec(plan, interpret=interpret)
+        self._band_gn = self.band.pack_gn(self.grad_N.astype(jnp.float32))
+        return self.band
+
+    def band_pack_ct(self, CT_soa32):
+        """Pack an f32 (6,6,E) tangent for the band matvec (per solve)."""
+        return self.band.pack_ct(CT_soa32, self.vol32)
+
+    def band_matvec(self, ct_packed, u):
+        """(N,3) f32 stiffness action through the Pallas band kernel."""
+        return self.band.matvec(ct_packed, self._band_gn, u)
 
     def _geom(self, dtype):
         if dtype == jnp.float32:

@@ -321,10 +321,19 @@ def _make_masked_solver(kern, settings: SolverSettings, apply_M,
         if mixed:
             CT_lo = kern.prep(CT.astype(jnp.float32))
             mask32 = mask.astype(jnp.float32)
+            if getattr(kern, "band", None) is not None:
+                # Pallas band backend: pack the tangent once per solve,
+                # every f32 Krylov matvec then runs the static-schedule
+                # VMEM kernel (fem/bandkernel.py)
+                ct_packed = kern.band_pack_ct(CT_lo)
 
-            def Aop32(x):
-                return (mask32 * kern.matvec(CT_lo, mask32 * x)
-                        + (1.0 - mask32) * x)
+                def Aop32(x):
+                    return (mask32 * kern.band_matvec(ct_packed, mask32 * x)
+                            + (1.0 - mask32) * x)
+            else:
+                def Aop32(x):
+                    return (mask32 * kern.matvec(CT_lo, mask32 * x)
+                            + (1.0 - mask32) * x)
 
             def M_inv32(r):
                 return apply_M(P, r, mask32)
@@ -534,6 +543,20 @@ class LinearMomentum(LinearMomentumBase):
     def initialize(self):
         self.C = self.mat.C
 
+    def enable_band_matvec(self, interpret: bool = False):
+        """Route the f32 Krylov stiffness action through the Pallas band
+        kernel (fem/bandkernel.py).  The grid must be band-ordered
+        (reordered_grid(grid, method='band')); the f64 defect-correction
+        matvec keeps the cumsum path, so converged results are identical
+        to the defaults at the 1e-12 rtol criterion."""
+        self.kernel.enable_band(interpret=interpret)
+        self._jit_solve = None
+        self._jit_step = None
+        self._jit_step_key = None
+        self._jit_msteps = None
+        self._jit_tm_msteps = None
+        self._jit_tm_key = None
+
     def compute_CT(self, stress_k, dt):
         sv_k = _as_voigt(stress_k)
         states = [e.state for e in self.mat.elems_ne]
@@ -720,9 +743,17 @@ class LinearMomentum(LinearMomentumBase):
                     return (mask64 * kern.matvec(CT64, mask64 * x)
                             + (1.0 - mask64) * x)
 
-                def Aop_lo(x):
-                    return (mask32 * kern.matvec(CT, mask32 * x)
-                            + (1.0 - mask32) * x)
+                if getattr(kern, "band", None) is not None:
+                    ct_packed = kern.band_pack_ct(CT)
+
+                    def Aop_lo(x):
+                        return (mask32 * kern.band_matvec(ct_packed,
+                                                          mask32 * x)
+                                + (1.0 - mask32) * x)
+                else:
+                    def Aop_lo(x):
+                        return (mask32 * kern.matvec(CT, mask32 * x)
+                                + (1.0 - mask32) * x)
 
                 def M_inv(r):
                     return apply_M(P, r, mask32)

@@ -71,3 +71,73 @@ def test_band_matvec_elastic_energy_symmetry():
     a = float((v * Au).sum())
     b = float((u * Av).sum())
     assert abs(a - b) < 1e-3 * max(abs(a), 1.0)
+
+
+def test_band_wired_solver_matches_default():
+    """enable_band_matvec: the fused multi-step program with the Pallas
+    band kernel as the f32 Krylov operator reproduces the default path
+    (the f64 defect correction pins the converged solution)."""
+    import safeincave_tpu as sc
+    momBC = sc.MomentumBC
+
+    g0 = GridBox(Lx=1.0, Ly=1.0, Lz=1.0, nx=4, ny=4, nz=4)
+    g, _, _ = reordered_grid(g0, method="band")
+
+    def build():
+        eq = sc.LinearMomentum(g, theta=0.5)
+        eq.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12,
+                                        max_it=300, fp32_phase=True))
+        n = eq.n_elems
+        one = jnp.ones(n)
+        mat = sc.Material(n)
+        mat.set_density(2000.0 * one)
+        mat.add_to_elastic(sc.Spring(102e9 * one, 0.3 * one))
+        mat.add_to_non_elastic(sc.DislocationCreep(1.9e-20 * one,
+                                                   51600 * one, 3.0 * one))
+        eq.set_material(mat)
+        eq.set_T0(298.0 * one)
+        eq.set_T(298.0 * one)
+        eq.build_body_force([0.0, 0.0, 0.0])
+        bc = momBC.BcHandler(eq)
+        tv = [0.0, 1e9]
+        for nm, c in (("WEST", 0), ("SOUTH", 1), ("BOTTOM", 2)):
+            bc.add_boundary_condition(momBC.DirichletBC(nm, c, [0., 0.], tv))
+        bc.add_boundary_condition(momBC.NeumannBC("TOP", 2, 0.0, 0.0,
+                                                  [10e6, 10e6], tv, g=0.0))
+        eq.set_boundary_conditions(bc)
+        return eq
+
+    def run(eq):
+        eq.bc.update_dirichlet(0.0)
+        eq.bc.update_neumann(0.0)
+        eq.solve_elastic_response()
+        eps = eq.compute_total_strain()
+        eq.compute_elastic_stress(eps)
+        eq.compute_eps_ne_rate(eq.sig_v, 0.0)
+        eq.update_eps_ne_rate_old()
+        stats = eq.solve_time_steps([3600.0, 7200.0], [3600.0] * 2,
+                                    tol=1e-8, maxiter=40)
+        assert (stats[:, 5] > 0.5).all()
+        return np.asarray(eq.u)
+
+    u_ref = run(build())
+    eq_b = build()
+    eq_b.enable_band_matvec(interpret=True)
+    u_b = run(eq_b)
+    scale = np.abs(u_ref).max()
+    np.testing.assert_allclose(u_b, u_ref, atol=1e-9 * scale)
+
+
+def test_enable_band_rejects_unordered_grid():
+    import pytest
+    import safeincave_tpu as sc
+    from safeincave_tpu.fem.kernels import MomentumKernel
+    g = GridBox(nx=8, ny=8, nz=8)   # lexicographic ordering, not banded
+    kern = MomentumKernel(g)
+    try:
+        kern.enable_band(interpret=True)
+    except ValueError as e:
+        assert "band-ordered" in str(e)
+    else:
+        # a structured box can be band-enough already; accept either
+        assert kern.band is not None
