@@ -96,7 +96,12 @@ class LinearMomentumVP(sc.LinearMomentum):
 
 
 def main(operation_days=2.0, dt_hours=2.0, csv_path=None,
-         interlayer_z=(0.4, 0.6), output_root="output"):
+         interlayer_z=(0.4, 0.6), output_root="output",
+         timestepping="fixed"):
+    """``timestepping``: 'fixed' (reference default), 'adaptive'
+    (AdaptiveTimeController - grows dt on fast convergence, shrinks on
+    retries) or 'dp-limit' (a prescribed variable grid refined through
+    pressure ramps, the reference VariableTimestep.py:354-384 workflow)."""
     # box proxy standing in for the interlayer cavern meshes (the nobian
     # grids' physics: salt body with a horizontal interlayer band)
     grid = sc.GridBox(Lx=1.0, Ly=1.0, Lz=1.0, nx=5, ny=5, nz=5)
@@ -149,9 +154,16 @@ def main(operation_days=2.0, dt_hours=2.0, csv_path=None,
     eq.set_T(298.0 * one)
     eq.build_body_force([0.0, 0.0, 0.0])
 
-    tc = sc.TimeController(dt=dt_hours, initial_time=0.0,
-                           final_time=operation_days * 24.0,
-                           time_unit="hour")
+    if timestepping == "adaptive":
+        tc = sc.AdaptiveTimeController(dt=dt_hours, initial_time=0.0,
+                                       final_time=operation_days * 24.0,
+                                       time_unit="hour",
+                                       dt_min=dt_hours / 8,
+                                       dt_max=4 * dt_hours)
+    else:
+        tc = sc.TimeController(dt=dt_hours, initial_time=0.0,
+                               final_time=operation_days * 24.0,
+                               time_unit="hour")
 
     # pressure schedule: CSV operational profile if given, else sinus cycle
     p_base = 12 * MPa
@@ -166,6 +178,14 @@ def main(operation_days=2.0, dt_hours=2.0, csv_path=None,
             clamp_min=4 * MPa)
     schedules.apply_startup_ramp(t_vals, p_vals, p_start_pa=p_vals[0],
                                  ramp_hours=0.0, dt_hours=dt_hours)
+    if timestepping == "dp-limit":
+        # variable grid: fine steps through pressure ramps, coarse through
+        # plateaus (|dp| <= 0.5 MPa per step)
+        p_of_t = lambda t: float(np.interp(t, t_vals, p_vals))  # noqa: E731
+        grid_t = sc.build_time_list_by_dp_limit(
+            tc.t_final, p_of_t, dt_min=dt_hours * 900.0,
+            dt_max=dt_hours * 3600.0 * 4, dp_max=0.5e6)
+        tc = sc.TimeControllerFromList(grid_t, time_unit="hour")
 
     bc = momBC.BcHandler(eq)
     tv = [0.0, tc.t_final]
