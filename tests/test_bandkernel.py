@@ -73,6 +73,7 @@ def test_band_matvec_elastic_energy_symmetry():
     assert abs(a - b) < 1e-3 * max(abs(a), 1.0)
 
 
+@pytest.mark.slow
 def test_band_wired_solver_matches_default():
     """enable_band_matvec: the fused multi-step program with the Pallas
     band kernel as the f32 Krylov operator reproduces the default path
