@@ -163,10 +163,15 @@ def find_grid(name: str, fallback: str | None = None) -> str:
     mounted; otherwise falls back to the repo-owned fixtures under
     ``grids/`` (generated by grids/make_fixtures.py), using ``fallback``
     as the repo-side name when the reference mesh has no committed twin.
+
+    Set ``SAFEINCAVE_NO_REFERENCE=1`` to ignore the reference mount even
+    when present (CI mode proving the framework is self-contained:
+    ``SAFEINCAVE_NO_REFERENCE=1 pytest -m "not slow"``).
     """
     import os as _os
+    no_ref = _os.environ.get("SAFEINCAVE_NO_REFERENCE", "") == "1"
     ref = _os.path.join("/root", "reference", "grids", name)
-    if _os.path.isfile(_os.path.join(ref, "geom.msh")):
+    if not no_ref and _os.path.isfile(_os.path.join(ref, "geom.msh")):
         return ref
     repo_grids = _os.path.join(_os.path.dirname(_os.path.dirname(
         _os.path.abspath(__file__))), "grids")

@@ -71,6 +71,7 @@ class TestBuilder:
         with pytest.raises(ValueError):
             b.add_nonelastic("bad", "NoSuchModel", {})
 
+    @pytest.mark.slow
     def test_roundtrip_and_run(self, grid_dir, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
         path = str(tmp_path / "case.json")

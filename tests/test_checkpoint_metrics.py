@@ -2,6 +2,7 @@
 import json
 import os
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -57,6 +58,7 @@ def _run(eq, tc, **kw):
 
 
 class TestCheckpoint:
+    @pytest.mark.slow
     def test_resume_reproduces_straight_run(self, tmp_path):
         # straight run: 4 steps
         grid, eq_a = _build()

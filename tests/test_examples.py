@@ -69,10 +69,11 @@ def test_nobian_interlayer(tmp_path, monkeypatch):
 
 CAVERN_GRID = "/root/reference/grids/cavern_regular_600_3D"
 OVB_GRID = "/root/reference/grids/cavern_overburden_coarse"
+_NO_REF = os.environ.get("SAFEINCAVE_NO_REFERENCE") == "1"
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(not os.path.isdir(CAVERN_GRID),
+@pytest.mark.skipif(_NO_REF or not os.path.isdir(CAVERN_GRID),
                     reason="reference grids not mounted")
 def test_thermal_cavern(tmp_path, monkeypatch):
     _run_example(os.path.join(EXAMPLES, "thermal", "2_cavern", "main.py"),
@@ -83,7 +84,7 @@ def test_thermal_cavern(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(not os.path.isdir(OVB_GRID),
+@pytest.mark.skipif(_NO_REF or not os.path.isdir(OVB_GRID),
                     reason="reference grids not mounted")
 def test_thermomechanics_cavern_staged(tmp_path, monkeypatch):
     """Flagship: equilibrium -> TM operation with Robin cavern wall."""

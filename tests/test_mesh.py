@@ -99,7 +99,8 @@ class TestGmshCubeCoarse:
 
 class TestGmshV41Cavern:
     @pytest.mark.skipif(
-        not os.path.isfile(
+        os.environ.get("SAFEINCAVE_NO_REFERENCE") == "1"
+        or not os.path.isfile(
             "/root/reference/grids/cavern_regular_600_3D/geom.msh"),
         reason="reference grids not available")
     def test_load_cavern(self):

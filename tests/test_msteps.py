@@ -171,6 +171,7 @@ class TestF32Polymorphism:
     jnp literal) silently promotes the whole mixed-precision phase back to
     software-emulated f64 on TPU."""
 
+    @pytest.mark.slow
     def test_all_elements_stay_f32(self):
         import jax
         import jax.numpy as jnp

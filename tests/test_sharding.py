@@ -63,7 +63,11 @@ def _run_steps(eq, n_steps=2, dt=3600.0):
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
 class TestShardedExecution:
-    @pytest.mark.parametrize("mode", ["halo", "psum"])
+    # halo is the production mode and stays in the fast suite; the psum
+    # cross-check baseline is compile-heavy (own preconditioner/assembly
+    # programs) and runs under -m slow
+    @pytest.mark.parametrize("mode", [
+        "halo", pytest.param("psum", marks=pytest.mark.slow)])
     def test_matches_single_device(self, mode):
         grid, eq_ref = _build(nx=3)
         u_ref, sv_ref = _run_steps(eq_ref)
@@ -86,6 +90,7 @@ class TestShardedExecution:
         np.testing.assert_allclose(sv_sh[:n_orig], sv_ref, rtol=1e-8,
                                    atol=0.1)
 
+    @pytest.mark.slow
     def test_sharded_outputs_and_checkpoint_unpadded(self, tmp_path):
         """Element fields saved from a sharded run are sliced back to the
         true element count, so outputs open normally and checkpoints
