@@ -527,21 +527,26 @@ def main():
 
     # Hard safety net: the driver kills the benchmark process at its own
     # timeout (rc=124, r01 post-mortem) - a kill AFTER the headline JSON
-    # still reads as "benchmark failed".  An alarm slightly past the budget
-    # exits 0 cleanly with whatever sections completed, so a section that
-    # mis-estimates its cost (e.g. an unexpected cold compile) degrades to
-    # "sections skipped", never to a dead benchmark.
-    alarm_s = int(float(os.environ.get("BENCH_ALARM_S", budget + 20)))
+    # still reads as "benchmark failed".  A watchdog slightly past the
+    # budget exits 0 cleanly with whatever sections completed, so a section
+    # that mis-estimates its cost (e.g. an unexpected cold compile)
+    # degrades to "sections skipped", never to a dead benchmark.  A thread
+    # (not SIGALRM: Python signal handlers only run between bytecodes, and
+    # a cold XLA compile blocks the main thread in C for minutes - measured
+    # 253 s of alarm latency) so the exit fires even mid-compile.
+    alarm_s = float(os.environ.get("BENCH_ALARM_S", budget + 20))
 
-    def _bail(signum, frame):
-        log(f"BENCH_ALARM after {time.time()-t_start:.0f}s - exiting "
+    def _watchdog():
+        import threading as _t
+        time.sleep(alarm_s)
+        log(f"BENCH_WATCHDOG after {time.time()-t_start:.0f}s - exiting "
             f"cleanly with completed sections")
         sys.stdout.flush()
         sys.stderr.flush()
         os._exit(0)
 
-    signal.signal(signal.SIGALRM, _bail)
-    signal.alarm(alarm_s)
+    import threading
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     def section(name):
         log(f"[t+{time.time()-t_start:.0f}s] section: {name} "

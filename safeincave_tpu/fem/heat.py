@@ -20,6 +20,8 @@ from .momentum import SolverSettings
 
 class HeatDiffusion:
     def __init__(self, grid):
+        from ..jax_setup import warm_transfer
+        warm_transfer()   # hide the tunnel's one-time d2h init (~380 s)
         self.grid = grid
         self.kernel = HeatKernel(grid)
         self.n_elems = grid.n_elems

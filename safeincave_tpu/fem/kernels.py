@@ -94,7 +94,10 @@ class MomentumKernel:
         """
         from .bandplan import BandPlan
         from .bandkernel import BandMatvec
-        plan = BandPlan.build(np.asarray(self.conn), self.n_nodes)
+        # grid.conn is the host-side copy: np.asarray on the device array
+        # would block on the tunnel's one-time d2h init (~380 s, see
+        # jax_setup.warm_transfer)
+        plan = BandPlan.build(np.asarray(self.grid.conn), self.n_nodes)
         # a non-banded ordering produces enormous windows - refuse early
         # rather than compile a kernel with hundreds of gather slices
         if plan.Wg > 64 or plan.Ws > 64:

@@ -263,7 +263,7 @@ def _dense_inverse_precond(kern, C, mask):
     Ke = _element_stiffness(kern, C)                          # device, f64
     # flat scatter indices, built host-side (14 MB of int32 vs shipping the
     # gigabyte-scale assembled matrix through the host<->device link)
-    conn = np.asarray(kern.conn)
+    conn = np.asarray(kern.grid.conn)   # host copy (never pull from device)
     dof = (3 * conn[:, :, None].astype(np.int64)
            + np.arange(3)[None, None, :])                     # (E,4,3)
     rows = np.repeat(dof.reshape(-1, 12), 12, axis=1).reshape(-1)
@@ -375,6 +375,8 @@ class LinearMomentumBase:
     (reference MomentumEquation.py:36-701)."""
 
     def __init__(self, grid, theta: float):
+        from ..jax_setup import warm_transfer
+        warm_transfer()   # hide the tunnel's one-time d2h init (~380 s)
         self.grid = grid
         self.theta = theta
         self.kernel = MomentumKernel(grid)

@@ -29,3 +29,29 @@ except Exception:  # older jax without these options
     pass
 
 DTYPE = "float64"
+
+_d2h_warmed = False
+
+
+def warm_transfer():
+    """Kick the device->host transfer path asynchronously.
+
+    On the tunneled ``axon`` TPU platform the FIRST blocking device->host
+    transfer of a process stalls for ~380 s (one-time path initialisation;
+    measured 2026-08-17, any array size, host->device unaffected).  Starting
+    the same path with ``copy_to_host_async()`` right after backend init
+    makes the cost vanish entirely - the init completes in the background
+    while the host builds/compiles.  Call this once early in any driver
+    that will later read results back (bench.py, simulators, examples).
+    Safe no-op on CPU/standard TPU backends.
+    """
+    global _d2h_warmed
+    if _d2h_warmed:
+        return
+    _d2h_warmed = True
+    try:
+        import jax.numpy as jnp
+        x = jnp.zeros(8, jnp.float32)
+        x.copy_to_host_async()
+    except Exception:
+        pass
