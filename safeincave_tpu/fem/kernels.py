@@ -84,6 +84,18 @@ class MomentumKernel:
         self._scat_starts = jnp.asarray(starts, dtype=jnp.int32)
         self._scat_ends = jnp.asarray(ends + 0, dtype=jnp.int32)
         self.band = None          # optional Pallas band backend (f32 path)
+        self.blockell = None      # optional assembled block-ELL backend
+
+    def enable_blockell(self, G: int = 8):
+        """Switch the Krylov stiffness action (BOTH precisions) to the
+        assembled block-ELL operator (fem/blockell.py): one on-device
+        assembly per linearized solve, then every matvec is a single
+        batched MXU matmul + one (Gn*K)-row gather instead of the
+        gather-rate-bound element formulation.  Works with any node
+        ordering; band ordering keeps K (neighbour groups) small."""
+        from .blockell import BlockELL
+        self.blockell = BlockELL(self, G=G)
+        return self.blockell
 
     def enable_band(self, interpret: bool = False):
         """Switch the f32 stiffness action to the Pallas band kernel

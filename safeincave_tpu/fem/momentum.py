@@ -58,6 +58,13 @@ class SolverSettings:
     # far stronger than Jacobi for 3D elasticity); "jacobi" = nodal blocks
     precond: str = "auto"       # "auto" | "dense" | "2level" | "jacobi"
     dense_max_dofs: int = 30_000   # dense-inverse gate (~3.6 GB f32 at 30k)
+    # Store/apply the dense inverse in bfloat16: halves the HBM bytes of
+    # the dominant per-Krylov-iteration term.  Measured on the cavern600
+    # bench: apply 2.2 ms -> 1.1 ms but Krylov applies/step 32 -> 55 (the
+    # dense inverse's strength IS its 1-2-iteration accuracy; an 8-bit
+    # mantissa costs more iterations than the bytes save), net ~0.  Off by
+    # default; useful when HBM capacity (not time) gates the dense P.
+    precond_bf16: bool = False
     coarse_agg: int = 16        # nodes per coarse aggregate
     # adaptive_rtol=True solves the linearized systems only ~2 decades
     # tighter than the fixed-point error (Eisenstat-Walker), converging to
@@ -177,10 +184,13 @@ def build_preconditioner(kern, C, mask, settings: SolverSettings):
 
     if mode == "dense" and local:
         inv = _dense_inverse_precond(kern, C, mask)
+        if settings.precond_bf16:
+            inv = inv.astype(jnp.bfloat16)
 
         def apply_dense(P, r, m):
             (inv,) = P
-            x = inv @ r.reshape(-1).astype(jnp.float32)
+            x = jnp.matmul(inv, r.reshape(-1).astype(inv.dtype),
+                           preferred_element_type=jnp.float32)
             return x.reshape(-1, 3).astype(r.dtype)
 
         return (inv,), apply_dense
@@ -306,9 +316,21 @@ def _make_masked_solver(kern, settings: SolverSettings, apply_M,
 
     def solve_lin(CT, b, mask, u_bc, x0, rtol, P):
         CT_hi = kern.prep(CT)
+        bell = getattr(kern, "blockell", None)
+        if bell is not None:
+            # assembled block-ELL operator: one on-device assembly per
+            # linearized solve, every matvec in BOTH precisions then a
+            # batched MXU matmul (fem/blockell.py)
+            blocks_hi = bell.assemble(CT_hi)
+
+            def mv_hi(x):
+                return bell.matvec(blocks_hi, x)
+        else:
+            def mv_hi(x):
+                return kern.matvec(CT_hi, x)
 
         def Aop(x):
-            return mask * kern.matvec(CT_hi, mask * x) + (1.0 - mask) * x
+            return mask * mv_hi(mask * x) + (1.0 - mask) * x
 
         def M_inv(r):
             return apply_M(P, r, mask)
@@ -316,21 +338,29 @@ def _make_masked_solver(kern, settings: SolverSettings, apply_M,
         if zero_dirichlet:
             b_eff = mask * b
         else:
-            b_eff = (mask * (b - kern.matvec(CT_hi, u_bc))
+            b_eff = (mask * (b - mv_hi(u_bc))
                      + (1.0 - mask) * u_bc)
         if mixed:
-            CT_lo = kern.prep(CT.astype(jnp.float32))
             mask32 = mask.astype(jnp.float32)
-            if getattr(kern, "band", None) is not None:
+            if bell is not None:
+                blocks_lo = blocks_hi.astype(jnp.float32)
+
+                def Aop32(x):
+                    return (mask32 * bell.matvec(blocks_lo, mask32 * x)
+                            + (1.0 - mask32) * x)
+            elif getattr(kern, "band", None) is not None:
                 # Pallas band backend: pack the tangent once per solve,
                 # every f32 Krylov matvec then runs the static-schedule
                 # VMEM kernel (fem/bandkernel.py)
-                ct_packed = kern.band_pack_ct(CT_lo)
+                ct_packed = kern.band_pack_ct(kern.prep(
+                    CT.astype(jnp.float32)))
 
                 def Aop32(x):
                     return (mask32 * kern.band_matvec(ct_packed, mask32 * x)
                             + (1.0 - mask32) * x)
             else:
+                CT_lo = kern.prep(CT.astype(jnp.float32))
+
                 def Aop32(x):
                     return (mask32 * kern.matvec(CT_lo, mask32 * x)
                             + (1.0 - mask32) * x)
@@ -545,6 +575,24 @@ class LinearMomentum(LinearMomentumBase):
     def initialize(self):
         self.C = self.mat.C
 
+    def enable_blockell_matvec(self, G: int = 8):
+        """Route the Krylov stiffness action (both precisions) through the
+        assembled block-ELL operator (fem/blockell.py): one on-device
+        assembly per linearized solve, then every matvec is a batched MXU
+        matmul + one small gather instead of the ~0.6 Grows/s
+        gather-rate-bound element formulation.  Any node ordering works;
+        band (RCM) ordering keeps the neighbour-group count K small.
+        Converged results are identical (same operator, same f64
+        residual tests)."""
+        self.kernel.enable_blockell(G=G)
+        self._jit_solve = None
+        self._jit_step = None
+        self._jit_step_key = None
+        self._jit_msteps = None
+        self._jit_tm_msteps = None
+        self._jit_tm_key = None
+        self._jit_commit = None
+
     def enable_band_matvec(self, interpret: bool = False):
         """Route the f32 Krylov stiffness action through the Pallas band
         kernel (fem/bandkernel.py).  The grid must be band-ordered
@@ -741,21 +789,36 @@ class LinearMomentum(LinearMomentumBase):
                 mask64 = mask32.astype(jnp.float64)
                 ubc64 = ubc32.astype(jnp.float64)
 
-                def Aop_hi(x):
-                    return (mask64 * kern.matvec(CT64, mask64 * x)
-                            + (1.0 - mask64) * x)
+                bell = getattr(kern, "blockell", None)
+                if bell is not None:
+                    blocks64 = bell.assemble(CT64)
+                    blocks32 = blocks64.astype(jnp.float32)
 
-                if getattr(kern, "band", None) is not None:
-                    ct_packed = kern.band_pack_ct(CT)
+                    def mv64(x):
+                        return bell.matvec(blocks64, x)
 
                     def Aop_lo(x):
-                        return (mask32 * kern.band_matvec(ct_packed,
-                                                          mask32 * x)
+                        return (mask32 * bell.matvec(blocks32, mask32 * x)
                                 + (1.0 - mask32) * x)
                 else:
-                    def Aop_lo(x):
-                        return (mask32 * kern.matvec(CT, mask32 * x)
-                                + (1.0 - mask32) * x)
+                    def mv64(x):
+                        return kern.matvec(CT64, x)
+
+                    if getattr(kern, "band", None) is not None:
+                        ct_packed = kern.band_pack_ct(CT)
+
+                        def Aop_lo(x):
+                            return (mask32 * kern.band_matvec(ct_packed,
+                                                              mask32 * x)
+                                    + (1.0 - mask32) * x)
+                    else:
+                        def Aop_lo(x):
+                            return (mask32 * kern.matvec(CT, mask32 * x)
+                                    + (1.0 - mask32) * x)
+
+                def Aop_hi(x):
+                    return (mask64 * mv64(mask64 * x)
+                            + (1.0 - mask64) * x)
 
                 def M_inv(r):
                     return apply_M(P, r, mask32)
@@ -764,7 +827,7 @@ class LinearMomentum(LinearMomentumBase):
                 if zero_dir:
                     b_eff = mask64 * b64
                 else:
-                    b_eff = (mask64 * (b64 - kern.matvec(CT64, ubc64))
+                    b_eff = (mask64 * (b64 - mv64(ubc64))
                              + (1.0 - mask64) * ubc64)
                 x, k, res = ir_solve(Aop_hi, Aop_lo, b_eff,
                                      x0.astype(jnp.float64), M_inv,
