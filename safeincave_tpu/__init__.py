@@ -32,7 +32,7 @@ from .bcs import MomentumBC, HeatBC
 from .output import SaveFields, ScreenPrinter
 from .simulators import Simulator_M, Simulator_Mout, Simulator_T, Simulator_TM
 from .config import Simulator_GUI, run_from_json
-from .matpoint import MaterialPointSimulator, calibrate
+from .matpoint import MaterialPointSimulator, TriaxialSimulator, calibrate
 from .checkpoint import save_checkpoint, load_checkpoint
 from .metrics import StepMetrics
 from . import postproc as PostProcessingTools  # noqa: N812
@@ -50,6 +50,7 @@ __all__ = [
     "LinearMomentumBase", "LinearMomentum", "HeatDiffusion", "SolverSettings",
     "MomentumBC", "HeatBC", "SaveFields", "ScreenPrinter",
     "Simulator_M", "Simulator_Mout", "Simulator_T", "Simulator_TM",
-    "Simulator_GUI", "run_from_json", "MaterialPointSimulator", "calibrate",
+    "Simulator_GUI", "run_from_json", "MaterialPointSimulator",
+    "TriaxialSimulator", "calibrate",
     "PostProcessingTools", "save_checkpoint", "load_checkpoint", "StepMetrics",
 ]

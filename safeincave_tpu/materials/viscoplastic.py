@@ -384,18 +384,22 @@ class MohrCoulombViscoplastic(NonElasticElement, _DPFlowMixin):
 
     def __init__(self, mu_1, N_1, cohesion, friction_angle, dilation_angle,
                  sigma_t, name: str = "mohr_coulomb"):
-        mu_1 = np.asarray(mu_1, dtype=np.float64)
+        # jnp (not numpy) arithmetic so cohesion/friction/dilation can be
+        # JAX tracers - the calibration twins differentiate through the
+        # constructor (examples/mechanics/MaterialCalibration)
+        mu_1 = jnp.asarray(mu_1, dtype=jnp.float64)
         super().__init__(mu_1.shape[0], name)
-        as64 = lambda x: np.asarray(x, dtype=np.float64)
+        as64 = lambda x: jnp.asarray(x, dtype=jnp.float64)
         cohesion = as64(cohesion)
         phi = as64(friction_angle)
         psi = as64(dilation_angle)
-        sin_phi, cos_phi, sin_psi = np.sin(phi), np.cos(phi), np.sin(psi)
+        sin_phi, cos_phi, sin_psi = jnp.sin(phi), jnp.cos(phi), jnp.sin(psi)
+        sq3 = np.sqrt(3.0)
         self.params = {
             "mu_1": mu_1, "N_1": as64(N_1), "sigma_t": as64(sigma_t),
-            "alpha_F": 2.0 * sin_phi / (np.sqrt(3.0) * (3.0 - sin_phi)),
-            "k_F": 6.0 * cohesion * cos_phi / (np.sqrt(3.0) * (3.0 - sin_phi)),
-            "alpha_Q": 2.0 * sin_psi / (np.sqrt(3.0) * (3.0 - sin_psi)),
+            "alpha_F": 2.0 * sin_phi / (sq3 * (3.0 - sin_phi)),
+            "k_F": 6.0 * cohesion * cos_phi / (sq3 * (3.0 - sin_phi)),
+            "alpha_Q": 2.0 * sin_psi / (sq3 * (3.0 - sin_psi)),
         }
         self.cohesion = cohesion
         self.friction_angle = phi

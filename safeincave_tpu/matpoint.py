@@ -121,6 +121,140 @@ class MaterialPointSimulator:
             out_isv[name].append(rec)
 
 
+class TriaxialSimulator(MaterialPointSimulator):
+    """Mixed-control triaxial compression twin: prescribed axial strain
+    (strain-rate-controlled loading ram) at fixed radial confinement.
+
+    This is the digital twin the reference's calibration optimizer builds
+    in FLAC3D (/root/reference/examples/mechanics/MaterialCalibration/
+    optimizer/models.py:51-186 compression_model: velocity-z loading at
+    ``zone face apply stress-normal Sr`` confinement), re-expressed on the
+    framework's own theta-scheme point machinery as a differentiable
+    ``lax.scan`` - so Young/Poisson/cohesion/friction fits use exact
+    gradients instead of FLAC re-runs per finite-difference probe.
+
+    Per step the axial stress is the root of the scalar consistency
+    equation  C_inv[2,:] . sigma + eps_ne_zz(sigma) = eps_zz_prescribed
+    at fixed sig_xx = sig_yy = Sr, solved by ``n_fp`` fixed-point sweeps
+    through the material's predictor (same structure as the FE solver's
+    global iteration).
+    """
+
+    def run_compression(self, Sr, eps_axial, times, n_fp: int = 12):
+        """Integrate a strain-driven compression path.
+
+        Parameters
+        ----------
+        Sr : scalar or (n_pts,) radial confinement (SafeInCave signs: Pa,
+            compression negative).
+        eps_axial : (T,) or (T, n_pts) prescribed TOTAL axial strain
+            (negative in compression), eps_axial[0] consistent with the
+            initial isotropic state sigma = Sr * I.
+        times : (T,) seconds.
+
+        Returns dict with "sig_zz", "eps_vol", "eps_ne" histories
+        ((T, n_pts) / (T, n_pts, 6)) and "S_diff" = sig_xx - sig_zz (the
+        reference's differential stress, positive in compression).
+        """
+        mat = self.mat
+        theta = self.theta
+        n = mat.n_elems
+        times = np.asarray(times, dtype=float)
+        Sr = jnp.broadcast_to(jnp.asarray(Sr, dtype=jnp.float64), (n,))
+        ez = jnp.asarray(eps_axial, dtype=jnp.float64)
+        if ez.ndim == 1:
+            ez = jnp.broadcast_to(ez[:, None], (len(times), n))
+        dts = jnp.asarray(np.diff(times))
+        Temp = self.Temp
+        Ci = mat.C_inv                                        # (n, 6, 6)
+        Ci_zz = Ci[:, 2, 2]
+        Ci_zr = Ci[:, 2, 0] + Ci[:, 2, 1]
+
+        def sv_of(szz):
+            z = jnp.zeros_like(szz)
+            return jnp.stack([Sr, Sr, szz, z, z, z], axis=-1)
+
+        elems = mat.elems_ne
+
+        def trial_eps_ne(states, sv, sv_k, dt):
+            """End-of-step inelastic strain for a trial end stress."""
+            tot = jnp.zeros((n, 6))
+            new_states = []
+            for e, st in zip(elems, states):
+                st = e.f_tangent(st, sv_k, Temp, dt, theta)
+                st = e.f_increment_isv(st, sv, sv_k, dt)
+                st = e.f_rate(st, sv, dt * theta, Temp)
+                st = e.f_eps_k(st, dt * theta, dt * (1 - theta))
+                upd = e.f_update_eps_old(st, sv, sv_k, dt * (1 - theta))
+                tot = tot + upd["eps_old"]
+                new_states.append(st)
+            return tot, new_states
+
+        def step(carry, inp):
+            states, szz_k = carry
+            dt, ez_t = inp
+            sv_k = sv_of(szz_k)
+
+            def resid(szz):
+                sv = sv_of(szz)
+                eps_ne, _ = trial_eps_ne(states, sv, sv_k, dt)
+                return Ci_zz * szz + Ci_zr * Sr + eps_ne[:, 2] - ez_t
+
+            def newton(i, szz):
+                # point-diagonal Jacobian via one jvp (plain fixed point
+                # diverges for stiff Perzyna overstress: the inelastic
+                # compliance d eps_ne_zz / d sig_zz exceeds the elastic one)
+                r, dr = jax.jvp(resid, (szz,), (jnp.ones_like(szz),))
+                dr = jnp.where(jnp.abs(dr) > 1e-30, dr, Ci_zz)
+                return szz - r / dr
+
+            szz = jax.lax.fori_loop(0, n_fp, newton, szz_k)
+            sv = sv_of(szz)
+            eps_ne, sts = trial_eps_ne(states, sv, sv_k, dt)
+            # commit with the converged end stress
+            new_states = []
+            for e, st in zip(elems, sts):
+                st = e.f_commit_isv(st)
+                st = e.f_update_eps_old(st, sv, sv_k, dt * (1 - theta))
+                st = e.f_rate_to_old(st)
+                new_states.append(st)
+            eps_tot = apply66_rows(Ci, sv) + eps_ne
+            out = (szz, eps_tot[:, 0] + eps_tot[:, 1] + eps_tot[:, 2],
+                   eps_ne)
+            return (tuple(new_states), szz), out
+
+        states0 = [dict(e.state) for e in elems]
+        # initial rates at the isotropic state
+        sv0 = sv_of(Sr)
+        states0 = [e.f_rate(st, sv0, 0.0, Temp)
+                   for e, st in zip(elems, states0)]
+        states0 = [e.f_rate_to_old(st) for e, st in zip(elems, states0)]
+
+        (states_f, _), (szz, evol, eps_ne) = jax.lax.scan(
+            step, (tuple(states0), Sr), (dts, ez[1:]))
+        for e, st in zip(elems, states_f):
+            e.state = st
+        szz = jnp.concatenate([Sr[None], szz], axis=0)
+        ev0 = (apply66_rows(Ci, sv0)[:, :3].sum(-1)
+               + sum(st["eps_old"][:, :3].sum(-1) for st in states0))
+        evol = jnp.concatenate([ev0[None], evol], axis=0)
+        return {
+            "times": times,
+            "sig_zz": szz,
+            "S_diff": Sr[None, :] - szz,
+            "eps_axial": ez,
+            "eps_vol": evol,
+            "eps_ne": (jnp.concatenate(
+                [sum(st["eps_old"] for st in states0)[None], eps_ne])
+                if elems else jnp.zeros((len(times), n, 6))),
+        }
+
+
+def apply66_rows(M, v):
+    """(n,6) result of batched (n,6,6) @ (n,6) without einsum-in-f64."""
+    return (M * v[:, None, :]).sum(-1)
+
+
 def calibrate(build_result_fn, params0: dict, observed, lr: float = 0.05,
               steps: int = 200, loss_scale=None):
     """Gradient-based parameter calibration.
