@@ -214,6 +214,40 @@ def bench_matvec(eq):
             f"({3*N/dt_iter/1e6:.0f} MDOF/s, ~{gbps:.0f} GB/s = "
             f"{100*gbps/HBM_GBPS:.0f}% of HBM roofline)")
 
+    # assembled block-ELL operator (fem/blockell.py): the opt-in
+    # assembled-SpMV alternative.  Bytes here are the bytes ACTUALLY
+    # streamed (the dense block tensor + u), not the matrix-free
+    # element-count accounting above.
+    try:
+        from safeincave_tpu.fem.blockell import BlockELL
+        bell = BlockELL(kern, G=8)
+        nbell = bell.plan.nbytes(4)
+        blocks64 = bell.assemble(kern.prep(eq.mat.C))
+        for blocks, dtype in ((blocks64.astype(jnp.float32), jnp.float32),
+                              (blocks64, jnp.float64)):
+            u = jnp.asarray(np.random.default_rng(0).normal(size=(N, 3)),
+                            dtype=dtype)
+
+            @jax.jit
+            def many_bell(u, blocks=blocks):
+                def body(_, v):
+                    w = bell.matvec(blocks, v)
+                    return w / jnp.sqrt(jnp.vdot(w.reshape(-1),
+                                                 w.reshape(-1)))
+                return jax.lax.fori_loop(0, 50, body, u)
+
+            jax.block_until_ready(many_bell(u))
+            t0 = time.time()
+            jax.block_until_ready(many_bell(u))
+            dt_iter = (time.time() - t0) / 50
+            by = nbell * (1 if dtype == jnp.float32 else 2)
+            log(f"matvec[block-ELL {np.dtype(dtype).name}]: "
+                f"{dt_iter*1e6:.0f} us ({3*N/dt_iter/1e6:.0f} MDOF/s, "
+                f"{by/dt_iter/1e9:.0f} GB/s streamed = "
+                f"{100*by/dt_iter/1e9/HBM_GBPS:.0f}% of HBM roofline)")
+    except Exception as exc:
+        log(f"block-ELL matvec lines skipped: {exc}")
+
 
 def bench_tm(eq_mech, n_steps=5):
     """Second config (BASELINE.md): coupled thermomechanics on the same

@@ -23,7 +23,8 @@ def _setup(nx=5):
     return g, plan
 
 
-@pytest.mark.parametrize("nx", [3, 5])
+@pytest.mark.parametrize("nx", [
+    3, pytest.param(5, marks=pytest.mark.slow)])
 def test_band_matvec_matches_xla(nx):
     g, plan = _setup(nx)
     kern = MomentumKernel(g)

@@ -90,6 +90,7 @@ class TestCheckpoint:
         np.testing.assert_allclose(np.asarray(eq_c.u), np.asarray(eq_a.u),
                                    rtol=1e-10, atol=1e-15)
 
+    @pytest.mark.slow
     def test_periodic_checkpointing(self, tmp_path):
         grid, eq = _build()
         tc = sc.TimeController(dt=1.0, initial_time=0.0, final_time=2.0,

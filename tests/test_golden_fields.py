@@ -36,6 +36,7 @@ class TestGoldenFields:
             _check(u, "triaxial_u", z)
             _check(sv, "triaxial_sig", z)
 
+    @pytest.mark.slow
     def test_cavern_box(self):
         u, sv = gc.run_mechanics(gc.build_cavern_box())
         with np.load(GOLDEN) as z:

@@ -123,6 +123,7 @@ class TestHaloProductionSolver:
     """shard_equation(mode='halo'): the full fused multi-step program with
     the owner-sharded Krylov loop (VERDICT round-1 item 4)."""
 
+    @pytest.mark.slow
     def test_fused_msteps_matches_single_device(self):
         from safeincave_tpu.parallel import shard_equation
         eq_ref = _wire(_grid(nx=4))

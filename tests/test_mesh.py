@@ -98,6 +98,18 @@ class TestGmshCubeCoarse:
 
 
 class TestGmshV41Cavern:
+    def test_v41_parser_repo_fixture(self):
+        """v4.1 parser coverage without the reference mount: hand-written
+        two-block Nodes / two-block Elements / Entities fixture."""
+        from safeincave_tpu.mesh.msh_io import read_msh
+        m = read_msh(os.path.join(os.path.dirname(__file__), "files",
+                                  "tiny_v41.msh"))
+        assert m.points.shape == (5, 3)
+        assert m.tets.shape == (2, 4) and list(m.tet_tags) == [2, 2]
+        assert m.tris.shape == (2, 3) and list(m.tri_tags) == [1, 1]
+        assert m.field_data == {"Wall": (1, 2), "Body": (2, 3)}
+        np.testing.assert_allclose(m.points[4], [1.0, 1.0, 1.0])
+
     @pytest.mark.skipif(
         os.environ.get("SAFEINCAVE_NO_REFERENCE") == "1"
         or not os.path.isfile(

@@ -193,6 +193,7 @@ class TestMultiModelConfig:
     dicts (reference idiom: MN interlayer + MD salt,
     /root/reference/examples/mechanics/nobian/Simulation/run_interlayer.py:1658,1750)."""
 
+    @pytest.mark.slow
     def test_mn_interlayer_md_salt_runs(self, tmp_path):
         out_dir = tmp_path / "out"
         hourv = 3600.0
