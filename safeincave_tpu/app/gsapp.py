@@ -676,8 +676,7 @@ class GsApp:
         path = self.save_to_file()
         if path is None:
             return
-        self.runner.setJsonFile(path)
-        self.runner.run()
+        self.runner.launch(path)
 
     # -- console pump -------------------------------------------------------- #
     def _drain_console(self):

@@ -94,7 +94,19 @@ class MomentumKernel:
         gather-rate-bound element formulation.  Works with any node
         ordering; band ordering keeps K (neighbour groups) small."""
         from .blockell import BlockELL
-        self.blockell = BlockELL(self, G=G)
+        bell = BlockELL(self, G=G)
+        # a poorly ordered mesh inflates K (neighbour groups per group) and
+        # with it the dense (3G, K*3G, Gn) block tensor - refuse early
+        # rather than silently exhaust HBM during the per-solve assemble
+        # (mirrors enable_band's Wg/Ws refusal)
+        budget = 4 << 30   # 4 GiB of f64 blocks is already unreasonable
+        if bell.plan.nbytes(8) > budget:
+            raise ValueError(
+                f"block-ELL plan needs {bell.plan.nbytes(8) / 2**30:.1f} GiB "
+                f"(K={bell.plan.K} neighbour groups at G={G}); the mesh is "
+                f"not locality-ordered - rebuild the grid with "
+                f"reorder='band' (or 'morton') before enable_blockell")
+        self.blockell = bell
         return self.blockell
 
     def enable_band(self, interpret: bool = False):

@@ -299,7 +299,12 @@ def _dense_inverse_precond(kern, C, mask):
 
 def _make_masked_solver(kern, settings: SolverSettings, apply_M,
                         zero_dirichlet: bool = False):
-    """Build solve_lin(CT, b, mask, u_bc, x0, rtol, P) -> (x, iters, res).
+    """Build solve_lin(CT, b, mask, u_bc, x0, rtol, P)
+    -> (x, iters, res, b_eff_norm).
+
+    ``b_eff_norm`` is the norm of the RHS actually solved (force RHS plus
+    the Dirichlet lifting term), so callers can scale divergence gates
+    correctly even for displacement-driven steps where ``||mask*b|| ~ 0``.
 
     Applies Dirichlet conditions by masking + lifting (the matrix-free
     equivalent of PETSc apply_lifting/set_bc, reference
@@ -340,6 +345,8 @@ def _make_masked_solver(kern, settings: SolverSettings, apply_M,
         else:
             b_eff = (mask * (b - mv_hi(u_bc))
                      + (1.0 - mask) * u_bc)
+        b_eff_norm = jnp.sqrt(jnp.vdot(b_eff.reshape(-1),
+                                       b_eff.reshape(-1)))
         if mixed:
             mask32 = mask.astype(jnp.float32)
             if bell is not None:
@@ -379,9 +386,7 @@ def _make_masked_solver(kern, settings: SolverSettings, apply_M,
             # best mixed iterate.  Compiled once, executed only on
             # stagnation, so the common case keeps native-f32 speed while
             # robustness matches the all-f64 path.
-            b_norm = jnp.sqrt(jnp.vdot(b_eff.reshape(-1),
-                                       b_eff.reshape(-1)))
-            need_f64 = res > rtol * b_norm
+            need_f64 = res > rtol * b_eff_norm
 
             def f64_finish(_):
                 x2, k2, res2 = solve(Aop, b_eff, x, M_inv, rtol=rtol,
@@ -392,10 +397,12 @@ def _make_masked_solver(kern, settings: SolverSettings, apply_M,
                 return (jnp.where(better, x2, x), k + k2,
                         jnp.where(better, res2, res))
 
-            return jax.lax.cond(need_f64, f64_finish,
-                                lambda _: (x, k, res), None)
-        return solve(Aop, b_eff, x0, M_inv, rtol=rtol,
-                     maxiter=settings.max_it)
+            x, k, res = jax.lax.cond(need_f64, f64_finish,
+                                     lambda _: (x, k, res), None)
+            return x, k, res, b_eff_norm
+        x, k, res = solve(Aop, b_eff, x0, M_inv, rtol=rtol,
+                          maxiter=settings.max_it)
+        return x, k, res, b_eff_norm
 
     return solve_lin
 
@@ -689,7 +696,7 @@ class LinearMomentum(LinearMomentumBase):
         mask, u_bc = self.bc.mask, self.bc.u_bc
         x0 = mask * self.u + (1.0 - mask) * u_bc
         P, _ = self._get_precond()
-        x, iters, res = self._get_jit_solve()(CT, b, mask, u_bc, x0, P)
+        x, iters, res, _ = self._get_jit_solve()(CT, b, mask, u_bc, x0, P)
         self.solver_stats = (int(iters), float(res))
         return x
 
@@ -1046,8 +1053,8 @@ class LinearMomentum(LinearMomentumBase):
                         jnp.clip(0.05 * err_prev, rtol_floor, 1e-4))
                 b = b_ext + kern.internal_force(kern.apply66(CT, eps_rhs))
                 x0 = mask * u + (1.0 - mask) * u_bc
-                u_new, kry, lin_res = solve_lin(CT, b, mask, u_bc, x0,
-                                                lin_rtol, P)
+                u_new, kry, lin_res, lin_bnorm = solve_lin(
+                    CT, b, mask, u_bc, x0, lin_rtol, P)
                 # solve-acceptance gate: BiCGStab can DIVERGE outright on a
                 # near-singular tangent (e.g. Perzyna-softened elements with
                 # collapsed hardening make CT locally ~0 and the elastic
@@ -1055,11 +1062,12 @@ class LinearMomentum(LinearMomentumBase):
                 # stress update launches a stress->rate->tangent NaN cascade
                 # that looks like a physics failure; gate it here so the
                 # step fails CLEANLY (err=inf -> dt-retry), mirroring the
-                # f32 sweep's u_ok acceptance test.
-                b_norm = jnp.sqrt(jnp.vdot((mask * b).reshape(-1),
-                                           (mask * b).reshape(-1)))
+                # f32 sweep's u_ok acceptance test.  The gate scales by the
+                # norm of the RHS actually solved (force RHS + Dirichlet
+                # lifting), so displacement-driven steps with ~zero force
+                # RHS do not collapse the threshold to 1e-30.
                 solve_ok = (jnp.isfinite(lin_res)
-                            & (lin_res <= 10.0 * b_norm + 1e-30)
+                            & (lin_res <= 10.0 * lin_bnorm + 1e-30)
                             & jnp.isfinite(jnp.vdot(u_new.reshape(-1),
                                                     u_new.reshape(-1))))
                 # strain, stress (reference :844-866)

@@ -365,7 +365,7 @@ def make_halo_masked_solver(halo: HaloMomentumSolver, settings, apply_M,
     """Halo-layout counterpart of fem.momentum._make_masked_solver.
 
     Same signature/contract - ``solve_lin(CT, b, mask, u_bc, x0, rtol, P)
-    -> (x, iters, res)`` with CT in GLOBAL element order and nodal vectors
+    -> (x, iters, res, b_eff_norm)`` with CT in GLOBAL element order and nodal vectors
     in the replicated (n_nodes, 3) layout - but everything inside the Krylov
     loop runs owner-sharded: layout conversion happens ONCE per solve
     (4 gathers in, 1 out), each Krylov iteration communicates only
@@ -398,6 +398,8 @@ def make_halo_masked_solver(halo: HaloMomentumSolver, settings, apply_M,
         else:
             b_eff = (mp * (bp - halo.matvec_pad(CT_l, up, mp))
                      + (1.0 - mp) * up)
+        b_eff_norm = jnp.sqrt(jnp.vdot(b_eff.reshape(-1),
+                                       b_eff.reshape(-1)))
         if mixed:
             CT_l32 = halo.ct_to_local_traced(CT.astype(jnp.float32))
             mp32 = mp.astype(jnp.float32)
@@ -414,9 +416,7 @@ def make_halo_masked_solver(halo: HaloMomentumSolver, settings, apply_M,
                                  inner_rtol=settings.inner_rtol,
                                  inner_maxiter=settings.max_it,
                                  max_passes=settings.max_passes)
-            b_norm = jnp.sqrt(jnp.vdot(b_eff.reshape(-1),
-                                       b_eff.reshape(-1)))
-            need_f64 = res > rtol * b_norm
+            need_f64 = res > rtol * b_eff_norm
 
             def f64_finish(_):
                 x2, k2, res2 = solve(Aop, b_eff, x, M_inv, rtol=rtol,
@@ -430,7 +430,7 @@ def make_halo_masked_solver(halo: HaloMomentumSolver, settings, apply_M,
         else:
             x, k, res = solve(Aop, b_eff, x0p, M_inv, rtol=rtol,
                               maxiter=settings.max_it)
-        return halo.from_padded(x), k, res
+        return halo.from_padded(x), k, res, b_eff_norm
 
     return solve_lin
 

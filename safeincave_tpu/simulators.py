@@ -155,8 +155,12 @@ class Simulator_M(Simulator):
             ])
         if n_ok and hasattr(tc, "feedback"):
             # adaptive controller: adapt the NEXT chunk's dt from this
-            # chunk's mean fixed-point work (all steps converged => 0 cuts)
-            tc.feedback(float(stats[:n_ok, 0].mean()), dt_cuts=0)
+            # chunk's mean fixed-point work.  On a partial failure report
+            # one dt cut so the controller shrinks before the per-step
+            # retry re-attempts the failed step (a fast-converging prefix
+            # must not grow dt into a solve that just failed).
+            tc.feedback(float(stats[:n_ok, 0].mean()),
+                        dt_cuts=0 if n_ok == len(ts) else 1)
         if n_ok == len(ts):
             for output in self.outputs:
                 output.skip_calls(n_ok - 1)
@@ -284,6 +288,11 @@ class Simulator_M(Simulator):
                         stress = stress_backup
                         eps_tot = eps_backup
                         stress_k = stress_backup
+
+            # the retry loop runs pure-f64; restore the mixed-precision
+            # default so later direct eq.solve_time_step calls (and the next
+            # fused chunk) get the f32 sweep back (mirrors Simulator_TM)
+            eq._fp32_disable = False
 
             if step_converged:
                 # fused single-dispatch commit (== update_internal_variables

@@ -128,8 +128,7 @@ class TestRunners:
         _build_case(grid_dir, str(tmp_path / "out")).save(path)
         lines = []
         runner = SimulatorRunner(output_callback=lines.append)
-        runner.setJsonFile(path)
-        runner.run()
+        runner.launch(path)
         # generous: the subprocess compiles its own XLA programs from a cold
         # in-process cache, and CI-style runs share the CPU
         rc = runner.wait(timeout=1500)
