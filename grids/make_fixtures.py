@@ -109,6 +109,20 @@ def cavern_proxy(name="cavern_proxy_600", L=600.0, H=800.0, n=14):
          remap[np.asarray(new_tris)], np.asarray(new_tags), fd)
 
 
+def cavern_interlayer_proxy():
+    """Heterogeneous multi-region cavern fixture (stands in for
+    grids/cavern_interlayer_600_3D: 6.9k nodes / 38k tets): revolved cavern
+    profile + two dipping interlayer bands, reference region naming
+    (Salt_bottom / Interlayer_1 / Salt_middle / Interlayer_2 / Salt_top)."""
+    from safeincave_tpu.mesh.cavern_gen import cavern_mesh, InterlayerBand
+    points, tets, tet_tags, tris, tri_tags, fd = cavern_mesh(
+        L=450.0, H=660.0, n=12,
+        interlayers=[InterlayerBand(250.0, 30.0, dip_deg=8.0),
+                     InterlayerBand(430.0, 25.0, dip_deg=-5.0)])
+    save("cavern_interlayer_proxy", points, tets, tet_tags, tris, tri_tags,
+         fd)
+
+
 def cavern_proxy_1200():
     """1200-class proxy (stands in for grids/cavern_regular_1200_3D:
     7.5k nodes / 41k tets)."""
@@ -120,3 +134,4 @@ if __name__ == "__main__":
     cube_regions()
     cavern_proxy()
     cavern_proxy_1200()
+    cavern_interlayer_proxy()

@@ -111,21 +111,27 @@ def _blk_apply(inv, r):
     return (inv_t * r.T[None]).sum(1).T
 
 
-def _coarse_space(kern, CT, mask, G):
-    """Dense coarse operator over contiguous node aggregates.
+def _coarse_space(kern, CT, mask, G, agg_of_node=None):
+    """Dense coarse operator over node aggregates.
 
-    Nodes are Morton/first-touch ordered (mesh/reorder.py), so aggregates of
-    G consecutive node ids are spatially compact - the restriction is a pure
-    reshape-sum and the prolongation a repeat, with no indexed memory ops in
-    the Krylov loop.  The coarse matrix R A R^T is assembled from the
-    per-element 12x12 stiffness (Dirichlet rows/cols masked at the fine
-    level) and inverted densely in f32 (TPU LAPACK ops are f32-only); it is
-    a preconditioner, so f32 is ample.
+    Default aggregates are G consecutive node ids (nodes are Morton/band
+    ordered by mesh/reorder.py, so they are spatially compact, and the
+    restriction is a pure reshape-sum with no indexed memory ops in the
+    Krylov loop).  ``agg_of_node`` (n_nodes,) overrides the aggregate
+    assignment for callers whose restriction is a segment-sum anyway
+    (parallel/halo.halo_two_level Morton-sorts internally).  The coarse
+    matrix R A R^T is assembled from the per-element 12x12 stiffness
+    (Dirichlet rows/cols masked at the fine level) and inverted densely in
+    f32 (TPU LAPACK ops are f32-only); it is a preconditioner, so f32 is
+    ample.
 
-    Returns (coarse_inv (3n_agg, 3n_agg) f32, n_agg).
+    Returns (coarse_inv (3n_agg, 3n_agg) f32, n_agg, pad).
     """
     n_nodes = kern.n_nodes
-    n_agg = -(-n_nodes // G)
+    if agg_of_node is None:
+        n_agg = -(-n_nodes // G)
+    else:
+        n_agg = int(np.asarray(agg_of_node).max()) + 1
     pad = n_agg * G - n_nodes
 
     Ke = _element_stiffness(kern, CT)
@@ -133,17 +139,30 @@ def _coarse_space(kern, CT, mask, G):
     mrows = mask[kern.conn]                                    # (E,4,3)
     Ke = Ke * mrows[:, :, :, None, None] * mrows[:, None, None, :, :]
 
-    agg = kern.conn // G                                       # (E,4)
+    if agg_of_node is None:
+        agg = kern.conn // G                                   # (E,4)
+    else:
+        agg = jnp.asarray(agg_of_node)[kern.conn]
     pair = (agg[:, :, None] * n_agg + agg[:, None, :])         # (E,4,4)
     flat = jnp.transpose(Ke, (0, 1, 3, 2, 4)).reshape(-1, 3, 3)
     Ac = jax.ops.segment_sum(flat, pair.reshape(-1),
                              num_segments=n_agg * n_agg)
     Ac = Ac.reshape(n_agg, n_agg, 3, 3).transpose(0, 2, 1, 3)
     Ac = Ac.reshape(3 * n_agg, 3 * n_agg).astype(jnp.float32)
-    # keep rows of empty/Dirichlet-only aggregates invertible
+    # Condition the f32 inversion: scale to O(1), regularize the diagonal
+    # (empty/Dirichlet-only aggregate rows become identity; near-singular
+    # aggregates - e.g. non-locality-ordered meshes where "G consecutive
+    # ids" are spatially scattered unions - get a bounded inverse), and
+    # SYMMETRIZE the result.  An unsymmetrized f32 LU inverse of an
+    # ill-conditioned Ac can be several-percent asymmetric, which silently
+    # turns the preconditioner indefinite and makes CG/BiCGStab diverge
+    # outright (observed on the raw gmsh-ordered cavern mesh).
     d = jnp.diagonal(Ac)
-    Ac = Ac + jnp.diag(jnp.where(jnp.abs(d) > 0, 0.0, 1.0).astype(jnp.float32))
-    return jnp.linalg.inv(Ac), n_agg, pad
+    scale = jnp.maximum(jnp.abs(d).max(), 1e-30)
+    Acs = Ac / scale + 1e-6 * jnp.eye(Ac.shape[0], dtype=jnp.float32)
+    inv = jnp.linalg.inv(Acs)
+    inv = 0.5 * (inv + inv.T) / scale
+    return inv, n_agg, pad
 
 
 def _two_level_apply(blk_inv, coarse_inv, mask, r, n_agg, G, pad):
@@ -654,9 +673,20 @@ class LinearMomentum(LinearMomentumBase):
                 self.bc.update_dirichlet(0.0)
             halo = getattr(self, "_halo", None)
             if halo is not None:
-                from ..parallel.halo import halo_block_jacobi
-                self._precond = halo_block_jacobi(halo, self.mat.C,
-                                                  self.bc.mask)
+                from ..parallel.halo import (halo_block_jacobi,
+                                             halo_two_level)
+                if self.solver.precond == "jacobi":
+                    self._precond = halo_block_jacobi(halo, self.mat.C,
+                                                      self.bc.mask)
+                else:
+                    # default ("auto"/"2level"/"dense"): block-Jacobi
+                    # smoother + replicated dense coarse correction, so
+                    # Krylov iteration counts stay flat as device count and
+                    # mesh size grow (the sharded stand-in for the
+                    # reference's ASM/ILU, Simulators.py:1075-1086)
+                    self._precond = halo_two_level(halo, self.mat.C,
+                                                   self.bc.mask,
+                                                   G=self.solver.coarse_agg)
             else:
                 self._precond = build_preconditioner(
                     self.kernel, self.mat.C, self.bc.mask, self.solver)
@@ -1018,23 +1048,10 @@ class LinearMomentum(LinearMomentumBase):
                           jnp.asarray(0.0, dtype=jnp.float64))
 
             def body(carry):
-                states, sv, eps_v, u, _, ite, err_prev, stats, was_tight = \
-                    carry
+                (states, sv, eps_v, u, _, ite, err_prev, stats, was_tight,
+                 tan) = carry
+                have, G_p, CT_p, B6_c, sv_lin, contracted = tan
                 sv_k = sv
-                # consistent tangents + CT (reference MomentumEquation.py:799-820)
-                new_states, G, B6 = mat.f_tangent_all(states, sv_k, Temp, dt,
-                                                      theta)
-                CT = kern.prep(mat.f_CT(G, dt, theta))
-                # eps_rhs (reference :868-890)
-                eps_ne_k = jnp.zeros_like(eps_th)
-                states2 = []
-                for e, st in zip(elems_ne, new_states):
-                    st = e.f_eps_k(st, dt * theta, dt * (1 - theta))
-                    eps_ne_k = eps_ne_k + st["eps_k"]
-                    states2.append(st)
-                G_sk = kern.apply66(kern.prep(G), sv_k)
-                eps_rhs = eps_ne_k + eps_th - dt * (1 - theta) * (B6 + G_sk)
-                # assemble + masked Krylov solve (reference :1008-1025).
                 # Adaptive inner tolerance (Eisenstat-Walker flavor): while
                 # the fixed-point error is large, the linearized system only
                 # needs to be solved ~2 decades tighter than it; once the
@@ -1051,6 +1068,49 @@ class LinearMomentum(LinearMomentumBase):
                     lin_rtol = jnp.where(
                         tight, rtol_floor,
                         jnp.clip(0.05 * err_prev, rtol_floor, 1e-4))
+
+                # consistent tangents + CT (reference MomentumEquation.py
+                # :799-820), LAGGED between rebuilds (modified-Newton).  The
+                # reference rebuilds the full tangent suite every fixed-point
+                # iteration; here a rebuild happens only (a) on the first
+                # f64 iteration, (b) when the error failed to contract under
+                # the lagged tangent, and (c) on every TIGHT iteration - and
+                # convergence can only be declared on a tight iteration, so
+                # the committed fields always come from a fresh consistent
+                # linearization (identical final-iteration semantics; the
+                # tangent only shapes the iteration path, not the fixed
+                # point, because the G:(sigma-sigma_k) corrector terms
+                # vanish at convergence).  Disabled (always fresh) when
+                # adaptive_rtol is off - the golden/default path is
+                # bit-identical to the always-fresh program.
+                def fresh(_):
+                    new_states, G, B6n = mat.f_tangent_all(states, sv_k,
+                                                           Temp, dt, theta)
+                    return (new_states, kern.prep(G),
+                            kern.prep(mat.f_CT(G, dt, theta)), B6n, sv_k)
+
+                if trivial_error or not adaptive:
+                    rebuild = jnp.asarray(True)
+                    new_states, G_p, CT, B6, sv_lin = fresh(None)
+                else:
+                    rebuild = (~have) | tight | (~contracted)
+
+                    def stale(_):
+                        return (states, G_p, CT_p, B6_c, sv_lin)
+
+                    new_states, G_p, CT, B6, sv_lin = jax.lax.cond(
+                        rebuild, fresh, stale, None)
+                # eps_rhs (reference :868-890) - linearized about sv_lin,
+                # the stress at which the (possibly lagged) tangent was built
+                eps_ne_k = jnp.zeros_like(eps_th)
+                states2 = []
+                for e, st in zip(elems_ne, new_states):
+                    st = e.f_eps_k(st, dt * theta, dt * (1 - theta))
+                    eps_ne_k = eps_ne_k + st["eps_k"]
+                    states2.append(st)
+                G_sk = kern.apply66(G_p, sv_lin)
+                eps_rhs = eps_ne_k + eps_th - dt * (1 - theta) * (B6 + G_sk)
+                # assemble + masked Krylov solve (reference :1008-1025)
                 b = b_ext + kern.internal_force(kern.apply66(CT, eps_rhs))
                 x0 = mask * u + (1.0 - mask) * u_bc
                 u_new, kry, lin_res, lin_bnorm = solve_lin(
@@ -1073,10 +1133,13 @@ class LinearMomentum(LinearMomentumBase):
                 # strain, stress (reference :844-866)
                 eps_new = kern.strain(u_new)
                 sv_new = kern.apply66(CT, eps_new - eps_rhs)
-                # ISV increments + rates (reference Simulators.py:421-425)
+                # ISV increments + rates (reference Simulators.py:421-425).
+                # The ISV linearization (r, h, P) lives at sv_lin, so the
+                # increment's P:(sigma - sigma_k) term expands about sv_lin
+                # (== sv_k on fresh iterations, i.e. reference semantics).
                 states3 = []
                 for e, st in zip(elems_ne, states2):
-                    st = e.f_increment_isv(st, sv_new, sv_k, dt)
+                    st = e.f_increment_isv(st, sv_new, sv_lin, dt)
                     st = e.f_rate(st, sv_new, dt * theta, Temp)
                     states3.append(st)
                 if trivial_error:
@@ -1095,17 +1158,24 @@ class LinearMomentum(LinearMomentumBase):
                                 err, jnp.inf)
                 kry_tot, _, _ = stats
                 stats = (kry_tot + kry, kry, lin_res)
+                tan = (have | rebuild, G_p, CT, B6, sv_lin,
+                       err < 0.7 * err_prev)
                 return (states3, sv_new, eps_new, u_new, sv_k, ite + 1, err,
-                        stats, tight)
+                        stats, tight, tan)
 
             def cond(carry):
-                *_, ite, err, stats, was_tight = carry
+                *_, ite, err, stats, was_tight, tan = carry
                 return (((((err > tol) | (~was_tight)) & (ite < maxiter)
                           & jnp.isfinite(err))
                          | (ite == 0)) & enabled)
 
+            tan0 = (jnp.asarray(False),
+                    kern.prep(jnp.zeros((kern.n_elems, 6, 6))),
+                    kern.prep(jnp.zeros((kern.n_elems, 6, 6))),
+                    jnp.zeros((kern.n_elems, 6)), sv,
+                    jnp.asarray(True))
             init = (states, sv, eps_v, u, sv, ite0, err0, stats0,
-                    jnp.asarray(False))
+                    jnp.asarray(False), tan0)
             out = jax.lax.while_loop(cond, body, init)
             return out[:8]
 

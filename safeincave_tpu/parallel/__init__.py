@@ -1,5 +1,7 @@
-from .sharding import make_device_mesh, shard_equation, ShardedMomentumKernel
+from .sharding import (make_device_mesh, shard_equation, shard_tm,
+                       ShardedMomentumKernel, ShardedHeatKernel)
 from .halo import HaloPlan, HaloMomentumSolver
 
-__all__ = ["make_device_mesh", "shard_equation", "ShardedMomentumKernel",
+__all__ = ["make_device_mesh", "shard_equation", "shard_tm",
+           "ShardedMomentumKernel", "ShardedHeatKernel",
            "HaloPlan", "HaloMomentumSolver"]

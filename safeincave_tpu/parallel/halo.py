@@ -184,6 +184,7 @@ class HaloMomentumSolver:
     def __init__(self, grid, mesh: Mesh, plan: HaloPlan | None = None,
                  axis: str = "e"):
         D = mesh.devices.size
+        self.grid = grid
         self.plan = plan or HaloPlan(grid, D)
         plan = self.plan
         assert plan.D == D
@@ -461,3 +462,71 @@ def halo_block_jacobi(halo: HaloMomentumSolver, C, mask):
         return (inv_t * r.T[None]).sum(1).T
 
     return (blk_inv,), apply_bj
+
+
+def halo_two_level(halo: HaloMomentumSolver, C, mask, G: int = 16):
+    """Two-level preconditioner for the halo solver: owner-local
+    block-Jacobi smoother + a replicated dense coarse-space correction.
+
+    Pure block-Jacobi iteration counts grow with mesh size and device count
+    (no global information transfer per application - the weakness the
+    reference covers with ASM/ILU, Simulators.py:1075-1086).  The coarse
+    space here is the same aggregate construction as the unsharded 2level
+    mode (fem/momentum._coarse_space): G consecutive global node ids per
+    aggregate (band/Morton ordering makes them spatially compact), coarse
+    matrix R A R^T assembled once per wiring from the elastic element
+    stiffness, inverted densely in f32, and REPLICATED across devices -
+    3*n_agg is tiny (~3 KB/aggregate-row), so the coarse apply costs one
+    segment-sum (psum'd by GSPMD over the owner-sharded residual), one
+    small replicated matvec, and one gather back to the padded layout.
+    """
+    from types import SimpleNamespace
+    from ..fem.momentum import _coarse_space
+    from ..mesh.native import morton_order
+
+    grid = halo.grid
+    (blk_inv,), _bj = halo_block_jacobi(halo, C, mask)
+
+    # Spatially compact aggregates regardless of the mesh's node numbering:
+    # Morton-sort the nodes and aggregate G consecutive SORTED ids.  (The
+    # unsharded 2level mode aggregates consecutive raw ids because its
+    # restriction is a pure reshape; here the restriction is already a
+    # segment-sum over an arbitrary static table, so better aggregates are
+    # free.  Scattered aggregates make R A R^T nearly singular.)
+    node_morton = np.asarray(morton_order(np.asarray(grid.points)))
+    agg_of_node = np.empty(grid.n_nodes, dtype=np.int64)
+    agg_of_node[node_morton] = np.arange(grid.n_nodes, dtype=np.int64) // G
+
+    kern_view = SimpleNamespace(
+        n_nodes=grid.n_nodes,
+        conn=jnp.asarray(np.asarray(grid.conn)),
+        grad_N=jnp.asarray(np.asarray(grid.grad_N)),
+        vol=jnp.asarray(np.asarray(grid.volumes)))
+    mask_g = jnp.asarray(np.asarray(mask), dtype=jnp.float64)
+    # C may arrive padded to the sharded element count (shard_equation pads
+    # trailing elements); the coarse assembly runs on the real global mesh
+    C_g = jnp.asarray(C)[:grid.n_elems]
+    coarse_inv, n_agg, _ = _coarse_space(kern_view, C_g, mask_g, G,
+                                         agg_of_node=agg_of_node)
+
+    # padded row -> aggregate id (padding rows go to a dump slot n_agg)
+    node_perm = np.asarray(halo.node_perm)
+    DS = halo.plan.D * halo.S
+    agg_pad = np.full(DS, n_agg, dtype=np.int32)
+    agg_pad[node_perm] = agg_of_node
+    agg_pad_j = jnp.asarray(agg_pad)
+    agg_gather = jnp.asarray(np.minimum(agg_pad, n_agg - 1))
+
+    def apply_2l(P, r, m):
+        blk_inv, coarse_inv = P
+        inv_t = jnp.transpose(blk_inv, (1, 2, 0)).astype(r.dtype)
+        z = (inv_t * r.T[None]).sum(1).T
+        rm = r * m     # padding rows carry m = 0, so the dump slot is inert
+        rc = jax.ops.segment_sum(rm, agg_pad_j,
+                                 num_segments=n_agg + 1)[:n_agg]
+        zc = (coarse_inv @ rc.reshape(-1).astype(jnp.float32)).reshape(
+            n_agg, 3)
+        zf = zc[agg_gather].astype(r.dtype)
+        return z + zf * m
+
+    return (blk_inv, coarse_inv), apply_2l

@@ -202,6 +202,138 @@ class ShardedMomentumKernel:
         return self._body(density, g_vec, self.conn, self.vol)
 
 
+class ShardedHeatKernel:
+    """Element-sharded counterpart of :class:`fem.kernels.HeatKernel`:
+    local scalar P1 assembly per shard + ``psum`` over the mesh axis
+    (the heat-equation analog of the reference's PETSc ghost updates,
+    HeatEquation.py:354-361).  Nodal temperature stays replicated; the DG0
+    projection (``nodes_to_elems``, the TM coupling path,
+    HeatEquation.py:286-301) returns an element-sharded array that feeds the
+    momentum equation's sharded constitutive update directly."""
+
+    def __init__(self, grid, mesh: Mesh, axis: str = "e"):
+        self.grid = grid
+        self.mesh = mesh
+        self.axis = axis
+        D = mesh.devices.size
+        E = grid.n_elems
+        self.n_elems_orig = E
+        self.n_pad = (-E) % D
+        self.n_elems = E + self.n_pad
+        self.n_nodes = grid.n_nodes
+
+        spec_e = NamedSharding(mesh, P(axis))
+        self.conn = jax.device_put(
+            _pad_elem_array(np.asarray(grid.conn, dtype=np.int32),
+                            self.n_pad, mode="zero"), spec_e)
+        self.grad_N = jax.device_put(
+            _pad_elem_array(grid.grad_N, self.n_pad, mode="edge"), spec_e)
+        self.vol = jax.device_put(
+            _pad_elem_array(grid.volumes, self.n_pad, mode="zero"), spec_e)
+        self.grad_N32 = self.grad_N.astype(jnp.float32)
+        self.vol32 = self.vol.astype(jnp.float32)
+        mass_local = jnp.asarray((np.ones((4, 4)) + np.eye(4)) / 20.0)
+
+        ax = axis
+        n_nodes = self.n_nodes
+
+        def _mass_local_f(coefv, T, conn):
+            T_e = T[conn]
+            m = jnp.einsum("ab,eb,e->ea", mass_local.astype(T.dtype), T_e,
+                           coefv.astype(T.dtype))
+            out = jax.ops.segment_sum(m.reshape(-1), conn.reshape(-1),
+                                      num_segments=n_nodes)
+            return jax.lax.psum(out, ax)
+
+        def _stiff_local(kv, T, conn, grad_N):
+            T_e = T[conn]
+            gT = jnp.einsum("ea,eai->ei", T_e, grad_N)
+            f = jnp.einsum("ei,eai,e->ea", gT, grad_N, kv.astype(T.dtype))
+            out = jax.ops.segment_sum(f.reshape(-1), conn.reshape(-1),
+                                      num_segments=n_nodes)
+            return jax.lax.psum(out, ax)
+
+        def _mass_diag_local(coefv, conn):
+            d = coefv[:, None] * jnp.full((1, 4), 2.0 / 20.0)
+            out = jax.ops.segment_sum(d.reshape(-1), conn.reshape(-1),
+                                      num_segments=n_nodes)
+            return jax.lax.psum(out, ax)
+
+        def _stiff_diag_local(kv, conn, grad_N):
+            d = jnp.einsum("eai,eai,e->ea", grad_N, grad_N, kv)
+            out = jax.ops.segment_sum(d.reshape(-1), conn.reshape(-1),
+                                      num_segments=n_nodes)
+            return jax.lax.psum(out, ax)
+
+        Pe, Pr = P(ax), P()
+        self._mass = shard_map(_mass_local_f, mesh=mesh,
+                               in_specs=(Pe, Pr, Pe), out_specs=Pr)
+        self._stiff = shard_map(_stiff_local, mesh=mesh,
+                                in_specs=(Pe, Pr, Pe, Pe), out_specs=Pr)
+        self._mass_diag = shard_map(_mass_diag_local, mesh=mesh,
+                                    in_specs=(Pe, Pe), out_specs=Pr)
+        self._stiff_diag = shard_map(_stiff_diag_local, mesh=mesh,
+                                     in_specs=(Pe, Pe, Pe), out_specs=Pr)
+
+    def _geom(self, dtype):
+        if dtype == jnp.float32:
+            return self.grad_N32, self.vol32
+        return self.grad_N, self.vol
+
+    # -- HeatKernel API -------------------------------------------------- #
+    def mass_apply(self, coef, T):
+        _, vol = self._geom(T.dtype)
+        return self._mass(coef.astype(T.dtype) * vol, T, self.conn)
+
+    def stiffness_apply(self, k, T):
+        grad_N, vol = self._geom(T.dtype)
+        return self._stiff(k.astype(T.dtype) * vol, T, self.conn, grad_N)
+
+    def mass_diagonal(self, coef):
+        return self._mass_diag(coef * self.vol, self.conn)
+
+    def stiffness_diagonal(self, k):
+        return self._stiff_diag(k * self.vol, self.conn, self.grad_N)
+
+    def nodes_to_elems(self, T):
+        return T[self.conn].mean(axis=1)
+
+
+def shard_tm(eq, heat, mesh: Mesh | None = None, axis: str = "e",
+             mode: str = "halo"):
+    """Shard a coupled thermo-mechanical pair over a device mesh.
+
+    ``shard_equation`` for the momentum equation plus the heat-equation
+    counterpart: element-sharded heat assembly (psum'd, replicated nodal T)
+    and the element-sharded DG0 coupling projection.  The reference runs the
+    same TM loop unchanged under mpirun (Simulators.py:177-265); here the
+    fused TM driver (momentum.solve_tm_time_steps) compiles into one SPMD
+    program over the mesh."""
+    if mesh is None:
+        mesh = make_device_mesh(axis=axis)
+    shard_equation(eq, mesh=mesh, axis=axis, mode=mode)
+    heat.kernel = ShardedHeatKernel(heat.grid, mesh, axis)
+    heat.n_elems = heat.kernel.n_elems
+    # heat material fields: if the shared Material was already padded by
+    # shard_equation, re-reading refreshes the references; an independent
+    # material is padded here
+    spec_e = NamedSharding(mesh, P(axis))
+    n_pad = heat.kernel.n_pad
+    for name in ("k", "rho", "cp"):
+        arr = np.asarray(getattr(heat, name))
+        if arr.shape[0] != heat.kernel.n_elems:
+            arr = _pad_elem_array(arr, n_pad, mode="edge")
+        setattr(heat, name, jax.device_put(arr, spec_e))
+    # invalidate jitted programs built on the unsharded kernel
+    heat._jit_step = None
+    heat._jit_step_key = None
+    heat._jit_msteps = None
+    heat._jit_msteps_key = None
+    eq._jit_tm_msteps = None
+    eq._jit_tm_key = None
+    return eq, heat
+
+
 def shard_equation(eq, mesh: Mesh | None = None, axis: str = "e",
                    mode: str = "halo"):
     """Convert an assembled :class:`LinearMomentum` to SPMD execution.

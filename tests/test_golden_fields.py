@@ -48,4 +48,15 @@ class TestGoldenFields:
         with np.load(GOLDEN) as z:
             _check(u, "tm_u", z)
             _check(sv, "tm_sig", z)
+
+    @pytest.mark.slow
+    def test_interlayer_tm(self):
+        """Heterogeneous multi-material cavern TM: MC interlayers + creeping
+        salt on the revolved-profile multi-region mesh (VERDICT r02 item 5;
+        reference nobian run_interlayer.py regime)."""
+        u, sv, T = gc.run_tm(*gc.build_interlayer_tm())
+        with np.load(GOLDEN) as z:
+            _check(u, "inter_u", z)
+            _check(sv, "inter_sig", z)
+            _check(T, "inter_T", z)
             _check(T, "tm_T", z)

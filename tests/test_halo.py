@@ -92,7 +92,12 @@ def _wire(grid):
     bc = momBC.BcHandler(eq)
     tv = [0.0, 1e9]
     names = grid.get_boundary_names()
-    for nm, comp in (("WEST", 0), ("SOUTH", 1), ("BOTTOM", 2)):
+    # both the box fixtures' UPPERCASE names and the reference cavern
+    # meshes' Title-case names - without supports the system is singular
+    # (pure Neumann), which the coarse-corrected preconditioner rightly
+    # refuses to converge on
+    for nm, comp in (("WEST", 0), ("SOUTH", 1), ("BOTTOM", 2),
+                     ("West", 0), ("South", 1), ("Bottom", 2)):
         if nm in names:
             bc.add_boundary_condition(momBC.DirichletBC(nm, comp,
                                                         [0., 0.], tv))
