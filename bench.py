@@ -174,16 +174,10 @@ def build(nx=17):
             bc.add_boundary_condition(momBC.NeumannBC(
                 nm, 2, 0.0, 0.0, list(p_sched), list(t_sched), g=0.0))
     eq.set_boundary_conditions(bc)
-    import jax
-    if cav is not None and jax.default_backend() != "cpu":
-        # Pallas band matvec as the f32 Krylov operator (the grid above is
-        # band-ordered); the f64 defect-correction path keeps the cumsum
-        # kernel, so converged fields are unchanged.  Skipped on the CPU
-        # backend (tools/measure_baseline.py reuses this builder there).
-        try:
-            eq.enable_band_matvec()
-        except ValueError as exc:
-            log(f"band matvec disabled: {exc}")
+    # no enable_* call: LinearMomentum auto-selects the band matvec on
+    # accelerators for band-ordered grids (library default = headline path)
+    if getattr(eq.kernel, "band", None) is not None:
+        log("matvec backend: pallas-band (auto-selected)")
     return eq
 
 
@@ -452,7 +446,7 @@ def bench_matvec_scale(nx=44):
             f"{100*gbps/HBM_GBPS:.0f}% of HBM roofline)")
 
 
-def build_tm_cyclic(grid_name, fallback, label, reorder="morton"):
+def build_tm_cyclic(grid_name, fallback, label, reorder="band"):
     """BASELINE configs 4-5 builder: coupled-TM cyclic loading on the
     1200-class / interlayer meshes (TM regime
     examples/thermomechanics/2_cavern/main.py:269-349).  Returns (eq, heat).
@@ -491,8 +485,12 @@ def build_tm_cyclic(grid_name, fallback, label, reorder="morton"):
     inter = per_region(0.0, 1.0)
     salt = 1.0 - inter
     eq = sc.LinearMomentum(grid, theta=0.5)
+    # same solver regime as the headline config: adaptive inner tolerance
+    # (Eisenstat-Walker) + lagged tangent rebuilds; convergence is still
+    # declared only after a fresh-tangent full-rtol iteration
     eq.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12,
-                                    max_it=400, coarse_agg=8))
+                                    max_it=400, coarse_agg=8,
+                                    adaptive_rtol=True))
     mat = sc.Material(n)
     mat.set_density(2200.0 * salt + 2900.0 * inter)
     E = 102e9 * salt + 70e9 * inter

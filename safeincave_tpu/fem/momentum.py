@@ -576,7 +576,7 @@ class LinearMomentum(LinearMomentumBase):
       a single device dispatch per time step.
     """
 
-    def __init__(self, grid, theta: float):
+    def __init__(self, grid, theta: float, auto_backend: bool = True):
         super().__init__(grid, theta)
         self.eps_rhs_v = jnp.asarray(np.zeros((self.n_elems, 6)))
         self._jit_solve = None
@@ -584,6 +584,18 @@ class LinearMomentum(LinearMomentumBase):
         self._jit_step_key = None
         self._jit_msteps = None
         self._precond = None
+        # Backend auto-selection: on accelerators, a band-ordered grid gets
+        # the Pallas band matvec as the f32 Krylov operator by default (the
+        # measured winner at cavern scale; the f64 defect-correction path
+        # keeps the cumsum kernel, so converged fields are identical).
+        # Opt out with auto_backend=False or enable_*_matvec() explicitly.
+        if (auto_backend
+                and getattr(grid, "reorder_method", None) == "band"
+                and jax.default_backend() != "cpu"):
+            try:
+                self.kernel.enable_band()
+            except Exception:
+                pass   # non-band-able connectivity: keep the cumsum kernel
 
     def set_solver(self, solver):
         super().set_solver(solver)

@@ -96,6 +96,10 @@ class Grid:
         self.n_elems = self.conn.shape[0]
         self.domain_dim = 3
         self.boundary_dim = 2
+        # locality ordering applied to this grid, if any ("band"/"morton"/
+        # "rcb"); equations use it to auto-select the matvec backend
+        self.reorder_method: str | None = getattr(self, "reorder_method",
+                                                  None)
 
         # gmsh physical-name table: {dim: {name: tag}}  (reference Grid.py:306-313)
         self.dolfin_tags = {1: {}, 2: {}, 3: {}}
@@ -259,6 +263,7 @@ class GridHandlerGMSH(Grid):
         points, tets, tet_tags = data.points, data.tets, data.tet_tags
         tris, tri_tags = data.tris, data.tri_tags
         self.elem_parts = None
+        self.reorder_method = reorder or None
         if reorder:
             from .reorder import reorder_arrays
             points, tets, tet_tags, tris, tri_tags, parts = reorder_arrays(

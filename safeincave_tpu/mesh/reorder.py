@@ -113,6 +113,7 @@ def reordered_grid(grid, method: str = "morton", nparts: int | None = None):
 
     g2 = Grid(points_new, conn_new, tags_new, tris_new, grid.tri_tags,
               _field_data(grid))
+    g2.reorder_method = method
     if parts is not None:
         g2.elem_parts = parts[order]
     g2.elem_order = np.asarray(order)
