@@ -54,6 +54,43 @@ _NZ = (
 _W = (1.0, 1.0, 1.0, 2.0, 2.0, 2.0)            # Voigt contraction weights
 
 
+def element_block_rows(CT_soa, gn, vol):
+    """Per-element 3x3 stiffness blocks k[a,b] as rows (16E, 9).
+
+    Row (4a + b)*E + e holds k_e[a, i, b, j] = V_e sum_p w_p eps[a,i,p]
+    sig[b,j,p] at component column 3i + j — fully elementwise on (E,)-lane
+    vectors (no dots: f64 dots are software-emulated on TPU), exploiting
+    the 3-nonzero sparsity of the P1 strain basis.  Shared by every
+    assembled-operator backend (block-ELL, block-DIA).
+    """
+    dt = CT_soa.dtype
+    gn = gn.astype(dt)                                   # (4, 3, E)
+    vol = vol.astype(dt)
+    # sig[b][j][p] = sum_l CT[p, l] * eps[b, j, l]  (3 nonzero l terms)
+    sig = [[None] * 3 for _ in range(4)]
+    for b in range(4):
+        for j in range(3):
+            s = None
+            for (l_p, l_l, c) in _NZ[j]:
+                term = CT_soa[:, l_p] * (c * gn[b, l_l])[None, :]
+                s = term if s is None else s + term
+            sig[b][j] = s                                # (6, E)
+    vrows = []
+    for a in range(4):
+        for b in range(4):
+            comps = []
+            for i in range(3):
+                for j in range(3):
+                    s = None
+                    for (l_p, l_l, c) in _NZ[i]:
+                        term = ((_W[l_p] * c) * gn[a, l_l]
+                                * sig[b][j][l_p])
+                        s = term if s is None else s + term
+                    comps.append(s * vol)                # (E,)
+            vrows.append(jnp.stack(comps, axis=-1))      # (E, 9)
+    return jnp.concatenate(vrows, axis=0)                # (16E, 9)
+
+
 class BlockELLPlan:
     """Static tables for one mesh (host numpy, built once)."""
 
@@ -126,35 +163,7 @@ class BlockELL:
         """
         p = self.plan
         dt = CT_soa.dtype
-        gn = self._gn.astype(dt)                             # (4,3,E)
-        vol = self._vol.astype(dt)
-        E = p.n_elems
-
-        # sig[b][j][p] = sum_l CT[p, l] * eps[b, j, l]  (3 nonzero l terms)
-        sig = [[None] * 3 for _ in range(4)]
-        for b in range(4):
-            for j in range(3):
-                s = None
-                for (l_p, l_l, c) in _NZ[j]:
-                    term = CT_soa[:, l_p] * (c * gn[b, l_l])[None, :]
-                    s = term if s is None else s + term
-                sig[b][j] = s                                # (6, E)
-        # k[a,i,b,j] = vol * sum_p w_p eps[a,i,p] sig[b,j,p] (3 terms)
-        # rows (16, E, 9): row (4a+b), component column 3i+j
-        vrows = []
-        for a in range(4):
-            for b in range(4):
-                comps = []
-                for i in range(3):
-                    for j in range(3):
-                        s = None
-                        for (l_p, l_l, c) in _NZ[i]:
-                            term = ((_W[l_p] * c) * gn[a, l_l]
-                                    * sig[b][j][l_p])
-                            s = term if s is None else s + term
-                        comps.append(s * vol)                # (E,)
-                vrows.append(jnp.stack(comps, axis=-1))      # (E, 9)
-        v = jnp.concatenate(vrows, axis=0)                   # (16E, 9)
+        v = element_block_rows(CT_soa, self._gn, self._vol)  # (16E, 9)
         # row scatter-add into the flat slot layout (the only XLA scatter
         # form that runs at the ~8 ns/row rate), then one transpose into
         # the lanes-last matvec layout

@@ -340,11 +340,12 @@ def _make_masked_solver(kern, settings: SolverSettings, apply_M,
 
     def solve_lin(CT, b, mask, u_bc, x0, rtol, P):
         CT_hi = kern.prep(CT)
-        bell = getattr(kern, "blockell", None)
+        # assembled operators (one on-device assembly per linearized
+        # solve, every matvec in BOTH precisions then a dense streaming
+        # op): block-DIA (zero-gather shifts, fem/dia.py) when the node
+        # numbering is offset-structured, else block-ELL (fem/blockell.py)
+        bell = getattr(kern, "dia", None) or getattr(kern, "blockell", None)
         if bell is not None:
-            # assembled block-ELL operator: one on-device assembly per
-            # linearized solve, every matvec in BOTH precisions then a
-            # batched MXU matmul (fem/blockell.py)
             blocks_hi = bell.assemble(CT_hi)
 
             def mv_hi(x):
@@ -584,18 +585,26 @@ class LinearMomentum(LinearMomentumBase):
         self._jit_step_key = None
         self._jit_msteps = None
         self._precond = None
-        # Backend auto-selection: on accelerators, a band-ordered grid gets
-        # the Pallas band matvec as the f32 Krylov operator by default (the
-        # measured winner at cavern scale; the f64 defect-correction path
-        # keeps the cumsum kernel, so converged fields are identical).
+        # Backend auto-selection: on accelerators, an offset-structured
+        # node numbering (regular boxes) gets the zero-gather block-DIA
+        # operator (fem/dia.py, streams at HBM rate, both precisions); a
+        # band-ordered grid gets the Pallas band matvec as the f32 Krylov
+        # operator (the measured winner at cavern scale; the f64
+        # defect-correction path keeps the cumsum kernel).  Converged
+        # fields are identical either way (same operator, f64 criterion).
         # Opt out with auto_backend=False or enable_*_matvec() explicitly.
-        if (auto_backend
-                and getattr(grid, "reorder_method", None) == "band"
-                and jax.default_backend() != "cpu"):
-            try:
-                self.kernel.enable_band()
-            except Exception:
-                pass   # non-band-able connectivity: keep the cumsum kernel
+        if auto_backend and jax.default_backend() != "cpu":
+            method = getattr(grid, "reorder_method", None)
+            if method in (None, "natural"):
+                try:
+                    self.kernel.enable_dia()
+                except ValueError:
+                    pass   # unstructured numbering: keep the cumsum kernel
+            elif method == "band":
+                try:
+                    self.kernel.enable_band()
+                except Exception:
+                    pass   # non-band-able connectivity: keep cumsum
 
     def set_solver(self, solver):
         super().set_solver(solver)
@@ -612,6 +621,24 @@ class LinearMomentum(LinearMomentumBase):
 
     def initialize(self):
         self.C = self.mat.C
+
+    def enable_dia_matvec(self, max_offsets: int = 96,
+                          min_fill: float = 0.4):
+        """Route the Krylov stiffness action (both precisions) through the
+        assembled block-DIA operator (fem/dia.py): one on-device assembly
+        per linearized solve, then every matvec is a zero-gather
+        shift-multiply-accumulate streaming the offset value planes at
+        HBM rate.  Requires an offset-structured node numbering (regular
+        GridBox grids qualify; raises ValueError otherwise).  Converged
+        results are identical (same operator, same f64 residual tests)."""
+        self.kernel.enable_dia(max_offsets=max_offsets, min_fill=min_fill)
+        self._jit_solve = None
+        self._jit_step = None
+        self._jit_step_key = None
+        self._jit_msteps = None
+        self._jit_tm_msteps = None
+        self._jit_tm_key = None
+        self._jit_commit = None
 
     def enable_blockell_matvec(self, G: int = 8):
         """Route the Krylov stiffness action (both precisions) through the
@@ -838,7 +865,8 @@ class LinearMomentum(LinearMomentumBase):
                 mask64 = mask32.astype(jnp.float64)
                 ubc64 = ubc32.astype(jnp.float64)
 
-                bell = getattr(kern, "blockell", None)
+                bell = (getattr(kern, "dia", None)
+                        or getattr(kern, "blockell", None))
                 if bell is not None:
                     blocks64 = bell.assemble(CT64)
                     blocks32 = blocks64.astype(jnp.float32)
