@@ -87,17 +87,20 @@ class MomentumKernel:
         self.blockell = None      # optional assembled block-ELL backend
         self.dia = None           # optional assembled block-DIA backend
 
-    def enable_dia(self, max_offsets: int = 96, min_fill: float = 0.4):
+    def enable_dia(self, max_offsets: int = 96, min_fill: float = 0.4,
+                   interpret: bool = False):
         """Switch the Krylov stiffness action (BOTH precisions) to the
         assembled block-DIA operator (fem/dia.py): one on-device assembly
-        per linearized solve, then every matvec is a zero-gather
+        per linearized solve (scatter-free strided adds on recognised
+        box lattices), then every matvec is a zero-gather
         shift-multiply-accumulate streaming the offset value planes at
-        HBM rate.  Raises ValueError when the node numbering is not
-        offset-structured (use band/cumsum there); structured GridBox
-        numberings qualify with 15 offsets at ~97% fill."""
+        HBM rate (f32 on TPU runs the fused Pallas tile kernel).  Raises
+        ValueError when the node numbering is not offset-structured (use
+        band/cumsum there); structured GridBox numberings qualify with
+        15 offsets at ~97% fill."""
         from .dia import BlockDIA
         self.dia = BlockDIA(self, max_offsets=max_offsets,
-                            min_fill=min_fill)
+                            min_fill=min_fill, interpret=interpret)
         return self.dia
 
     def enable_blockell(self, G: int = 8):

@@ -26,6 +26,7 @@ def test_matches_matrix_free():
     kern = MomentumKernel(grid)
     dia = BlockDIA(kern)
     assert dia.plan.Dn <= 27           # lexicographic stencil offsets
+    assert dia._sp is not None         # GridBox is recognised structured
     rng = np.random.default_rng(0)
     CT = _random_ct(grid.n_elems, rng)
     u = jnp.asarray(rng.normal(size=(grid.n_nodes, 3)))
@@ -40,6 +41,42 @@ def test_matches_matrix_free():
                                 u.astype(jnp.float32)))
     np.testing.assert_allclose(y32, y_ref, rtol=2e-4,
                                atol=2e-4 * np.abs(y_ref).max())
+
+
+def test_structured_assembly_matches_scatter():
+    """The 96-strided-add structured assembly and the general scatter
+    assembly are the same operator to f64 roundoff."""
+    grid = sc.GridBox(Lx=2.0, Ly=1.0, Lz=1.5, nx=5, ny=4, nz=3)
+    kern = MomentumKernel(grid)
+    dia = BlockDIA(kern)
+    assert dia._sp is not None
+    assert (dia._sp.nx, dia._sp.ny, dia._sp.nz) == (5, 4, 3)
+    rng = np.random.default_rng(1)
+    CT = _random_ct(grid.n_elems, rng)
+    vals_structured = np.asarray(dia.assemble(CT))
+    dia._sp = None                     # force the scatter path
+    vals_scatter = np.asarray(dia.assemble(CT))
+    np.testing.assert_allclose(vals_structured, vals_scatter,
+                               rtol=1e-12,
+                               atol=1e-12 * np.abs(vals_scatter).max())
+
+
+def test_pallas_interpret_matches_xla():
+    """The Pallas f32 tile kernel (interpret mode on CPU) reproduces the
+    XLA loop formulation."""
+    grid = sc.GridBox(Lx=1.0, Ly=1.0, Lz=1.0, nx=4, ny=4, nz=4)
+    kern = MomentumKernel(grid)
+    dia_x = BlockDIA(kern)
+    dia_p = BlockDIA(kern, interpret=True)
+    assert dia_p._pallas_call is not None
+    rng = np.random.default_rng(2)
+    CT = _random_ct(grid.n_elems, rng)
+    u = jnp.asarray(rng.normal(size=(grid.n_nodes, 3)), dtype=jnp.float32)
+    vals = dia_x.assemble(CT).astype(jnp.float32)
+    y_x = np.asarray(dia_x.matvec(vals, u))
+    y_p = np.asarray(dia_p.matvec(vals, u))
+    np.testing.assert_allclose(y_p, y_x, rtol=1e-6,
+                               atol=1e-6 * np.abs(y_x).max())
 
 
 def test_refuses_unstructured_numbering():
