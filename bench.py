@@ -192,18 +192,8 @@ def bench_matvec(eq):
         CT = kern.prep(eq.mat.C.astype(dtype))   # once, as the Krylov loop does
         u = jnp.asarray(np.random.default_rng(0).normal(size=(N, 3)),
                         dtype=dtype)
-
-        @jax.jit
-        def many(u):
-            def body(_, v):
-                w = kern.matvec(CT, v)
-                return w / jnp.sqrt(jnp.vdot(w.reshape(-1), w.reshape(-1)))
-            return jax.lax.fori_loop(0, 50, body, u)
-
-        jax.block_until_ready(many(u))  # compile
-        t0 = time.time()
-        jax.block_until_ready(many(u))
-        dt_iter = (time.time() - t0) / 50
+        dt_iter = timed_loop(lambda v, CT=CT: kern.matvec(CT, v), u,
+                             iters=200 if dtype == jnp.float32 else 50)
         # bytes/matvec: gather u (12 vals) + grad_N (12) + vol (1) + CT (36)
         # per element, scatter-add forces (12) + read/write result vector
         elem_bytes = (12 + 12 + 1 + 36 + 12) * fbytes * E
@@ -218,58 +208,14 @@ def bench_matvec(eq):
         ctp = kern.band_pack_ct(kern.prep(eq.mat.C.astype(jnp.float32)))
         u = jnp.asarray(np.random.default_rng(0).normal(size=(N, 3)),
                         dtype=jnp.float32)
-
-        @jax.jit
-        def many_band(u):
-            def body(_, v):
-                w = kern.band_matvec(ctp, v)
-                return w / jnp.sqrt(jnp.vdot(w.reshape(-1), w.reshape(-1)))
-            return jax.lax.fori_loop(0, 50, body, u)
-
-        jax.block_until_ready(many_band(u))
-        t0 = time.time()
-        jax.block_until_ready(many_band(u))
-        dt_iter = (time.time() - t0) / 50
+        dt_iter = timed_loop(lambda v: kern.band_matvec(ctp, v), u,
+                             iters=500)
         elem_bytes = (12 + 12 + 1 + 36 + 12) * 4 * E
         node_bytes = 2 * 3 * 4 * N
         gbps = (elem_bytes + node_bytes) / dt_iter / 1e9
         log(f"matvec[pallas-band f32]: {dt_iter*1e6:.0f} us "
             f"({3*N/dt_iter/1e6:.0f} MDOF/s, ~{gbps:.0f} GB/s = "
             f"{100*gbps/HBM_GBPS:.0f}% of HBM roofline)")
-
-    # assembled block-ELL operator (fem/blockell.py): the opt-in
-    # assembled-SpMV alternative.  Bytes here are the bytes ACTUALLY
-    # streamed (the dense block tensor + u), not the matrix-free
-    # element-count accounting above.
-    try:
-        from safeincave_tpu.fem.blockell import BlockELL
-        bell = BlockELL(kern, G=8)
-        nbell = bell.plan.nbytes(4)
-        blocks64 = bell.assemble(kern.prep(eq.mat.C))
-        for blocks, dtype in ((blocks64.astype(jnp.float32), jnp.float32),
-                              (blocks64, jnp.float64)):
-            u = jnp.asarray(np.random.default_rng(0).normal(size=(N, 3)),
-                            dtype=dtype)
-
-            @jax.jit
-            def many_bell(u, blocks=blocks):
-                def body(_, v):
-                    w = bell.matvec(blocks, v)
-                    return w / jnp.sqrt(jnp.vdot(w.reshape(-1),
-                                                 w.reshape(-1)))
-                return jax.lax.fori_loop(0, 50, body, u)
-
-            jax.block_until_ready(many_bell(u))
-            t0 = time.time()
-            jax.block_until_ready(many_bell(u))
-            dt_iter = (time.time() - t0) / 50
-            by = nbell * (1 if dtype == jnp.float32 else 2)
-            log(f"matvec[block-ELL {np.dtype(dtype).name}]: "
-                f"{dt_iter*1e6:.0f} us ({3*N/dt_iter/1e6:.0f} MDOF/s, "
-                f"{by/dt_iter/1e9:.0f} GB/s streamed = "
-                f"{100*by/dt_iter/1e9/HBM_GBPS:.0f}% of HBM roofline)")
-    except Exception as exc:
-        log(f"block-ELL matvec lines skipped: {exc}")
 
 
 def bench_tm(eq_mech, n_steps=5):
@@ -397,53 +343,131 @@ def bench_tm(eq_mech, n_steps=5):
         f"err={stats[-1, 3]:.1e})")
 
 
-def bench_matvec_scale(nx=44):
-    """Matvec bandwidth at PRODUCTION scale (BASELINE.md SpMV row).
+def timed_loop(step, x, iters=200, calls=3):
+    """Per-iteration wall-clock of ``step`` inside one on-device fori_loop.
 
-    The cavern meshes are small (24-33k tets): one matvec touches ~7 MB, a
-    ~9 us speed-of-light on 819 GB/s HBM, so the measured 0.5-1.1 ms there
-    is op-count/launch-latency, not bandwidth - "percent of roofline" is
-    not a meaningful kernel metric at that size.  This section measures the
-    same kernel where the roofline argument applies: a ~500k-tet box
-    (~150 MB/matvec), the scale the reference targets with PETSc MPI runs
-    (SURVEY.md 6: reference grids go to 10^5-10^6 tets multi-node)."""
+    Measurement contract (learned the hard way in r03): a jit CALL through
+    the axon tunnel can carry tens of ms of fixed dispatch overhead, so
+    per-op timings MUST amortize over a long on-device loop (>= 200
+    iterations caps the pollution at ~0.15 ms/iter) and take the min over
+    several calls.  Short 20-iter loops overstated r02's kernel times by
+    up to 1.3 ms/iter, which is why those roofline numbers were junk at
+    small sizes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: jax.lax.fori_loop(
+        0, iters,
+        lambda _, v: (lambda w: w / jnp.sqrt(
+            jnp.vdot(w.reshape(-1), w.reshape(-1))))(step(v)), x))
+    jax.block_until_ready(f(x))             # compile
+    best = float("inf")
+    for _ in range(calls):
+        t0 = time.time()
+        jax.block_until_ready(f(x))
+        best = min(best, (time.time() - t0) / iters)
+    return best
+
+
+def bench_matvec_scale(nx=44):
+    """SpMV bandwidth at PRODUCTION scale (BASELINE.md SpMV row).
+
+    The cavern meshes are small (24-33k tets): one matvec touches ~7 MB,
+    so wall-clock there is op-count/latency, not bandwidth.  This section
+    measures where the roofline argument applies: a ~500k-tet box
+    (~50 MB/matvec), the scale the reference targets with PETSc MPI runs
+    (SURVEY.md 6: reference grids go to 10^5-10^6 tets multi-node).
+
+    The measured operator is the production one for this regime: the
+    block-DIA offset operator (fem/dia.py) that LinearMomentum
+    auto-selects on natural-ordered structured grids - Pallas shift
+    kernel in f32, XLA loop in f64 - plus its scatter-free structured
+    assembly, with the matrix-free cumsum kernel for contrast.  Bytes
+    are counted two ways: "streamed" = the value planes + u actually
+    moved (Dn*9*N + 6N), and "effective" = true-nonzero bytes only
+    (n_pairs*9 + 6N; the honest number, discounting the 3.5% slot
+    padding)."""
     import jax
     import jax.numpy as jnp
     import safeincave_tpu as sc
     from safeincave_tpu.fem.kernels import MomentumKernel
+    from safeincave_tpu.fem.dia import BlockDIA
 
-    from safeincave_tpu.mesh.reorder import reordered_grid
     grid = sc.GridBox(Lx=600.0, Ly=600.0, Lz=800.0, nx=nx, ny=nx, nz=nx)
-    grid, _, _ = reordered_grid(grid, method="morton")
     kern = MomentumKernel(grid)
     E, N = kern.n_elems, kern.n_nodes
-    log(f"[scale] box mesh: {N} nodes, {E} tets, {3*N} dofs")
     one = np.ones(E)
     mat = sc.Material(E)
     mat.add_to_elastic(sc.Spring(102e9 * one, 0.3 * one))
 
+    dia = BlockDIA(kern)
+    p = dia.plan
+    log(f"[scale] box mesh: {N} nodes, {E} tets, {3*N} dofs; "
+        f"DIA {p.Dn} offsets at {p.fill:.3f} fill, structured assembly: "
+        f"{dia.structured}")
+
+    # hard-ceiling calibration: the bandwidth THIS chip actually achieves
+    # on a pure streaming copy (r+w) through XLA.  The 819 GB/s nominal
+    # v5e roofline is not reachable by any compiled elementwise kernel
+    # here (measured ~490 GB/s); quoting the matvec against the measured
+    # ceiling is the honest efficiency number.
+    big = jnp.ones((32 * 1024 * 1024,), jnp.float32)      # 128 MB
+    sc_ = jnp.float32(1.0000001)
+    fcopy = jax.jit(lambda x: jax.lax.fori_loop(
+        0, 100, lambda _, v: v * sc_, x))
+    jax.block_until_ready(fcopy(big))
+    t0 = time.time()
+    jax.block_until_ready(fcopy(big))
+    dt_copy = (time.time() - t0) / 100
+    ceiling = 2 * big.size * 4 / dt_copy / 1e9
+    log(f"[scale] streaming-copy calibration: {ceiling:.0f} GB/s achieved "
+        f"({100*ceiling/HBM_GBPS:.0f}% of the {HBM_GBPS:.0f} GB/s nominal)")
+    CT64 = kern.prep(mat.C)
+    vals64 = dia.assemble(CT64)
+    rng = np.random.default_rng(0)
+
+    best_gbps = 0.0
     for dtype, fbytes in ((jnp.float32, 4), (jnp.float64, 8)):
-        CT = kern.prep(mat.C.astype(dtype))
-        u = jnp.asarray(np.random.default_rng(0).normal(size=(N, 3)),
-                        dtype=dtype)
+        vals = vals64.astype(dtype)
+        u = jnp.asarray(rng.normal(size=(N, 3)), dtype=dtype)
+        dt_iter = timed_loop(lambda v, vals=vals: dia.matvec(vals, v), u,
+                             iters=500 if dtype == jnp.float32 else 100)
+        streamed = (p.Dn * 9 * N + 6 * N) * fbytes
+        effective = (p.n_pairs * 9 + 6 * N) * fbytes
+        name = np.dtype(dtype).name
+        kind = "pallas-shift" if dtype == jnp.float32 else "xla-shift"
+        log(f"[scale] matvec[block-DIA {kind} {name}]: "
+            f"{dt_iter*1e6:.0f} us ({3*N/dt_iter/1e6:.0f} MDOF/s, "
+            f"{streamed/dt_iter/1e9:.0f} GB/s streamed = "
+            f"{100*streamed/dt_iter/1e9/HBM_GBPS:.0f}% of nominal / "
+            f"{100*streamed/dt_iter/1e9/ceiling:.0f}% of measured ceiling, "
+            f"{effective/dt_iter/1e9:.0f} GB/s effective)")
+        if dtype == jnp.float32:
+            best_gbps = streamed / dt_iter / 1e9
 
-        @jax.jit
-        def many(u, CT=CT):
-            def body(_, v):
-                w = kern.matvec(CT, v)
-                return w / jnp.sqrt(jnp.vdot(w.reshape(-1), w.reshape(-1)))
-            return jax.lax.fori_loop(0, 20, body, u)
-
-        jax.block_until_ready(many(u))
+    # assembly cost (once per linearized solve; f32 is the production
+    # mixed-precision path, fem/momentum.py solve_lin)
+    for dtype in (jnp.float32, jnp.float64):
+        CTd = CT64.astype(dtype)
+        fa = jax.jit(lambda c: jax.lax.fori_loop(
+            0, 10, lambda i, acc: acc + dia.assemble(c).sum(),
+            jnp.zeros((), dtype)))
+        jax.block_until_ready(fa(CTd))
         t0 = time.time()
-        jax.block_until_ready(many(u))
-        dt_iter = (time.time() - t0) / 20
-        elem_bytes = (12 + 12 + 1 + 36 + 12) * fbytes * E
-        node_bytes = 2 * 3 * fbytes * N
-        gbps = (elem_bytes + node_bytes) / dt_iter / 1e9
-        log(f"[scale] matvec[{np.dtype(dtype).name}]: {dt_iter*1e6:.0f} us "
-            f"({3*N/dt_iter/1e6:.0f} MDOF/s, ~{gbps:.0f} GB/s = "
-            f"{100*gbps/HBM_GBPS:.0f}% of HBM roofline)")
+        jax.block_until_ready(fa(CTd))
+        log(f"[scale] assemble[{np.dtype(dtype).name}]: "
+            f"{(time.time()-t0)/10*1e3:.1f} ms "
+            f"(scatter-free strided, once per linearized solve)")
+
+    # matrix-free cumsum kernel for contrast (the small-mesh default)
+    CT32 = kern.prep(mat.C.astype(jnp.float32))
+    u32 = jnp.asarray(rng.normal(size=(N, 3)), dtype=jnp.float32)
+    dt_iter = timed_loop(lambda v: kern.matvec(CT32, v), u32, iters=20)
+    log(f"[scale] matvec[matrix-free cumsum f32]: {dt_iter*1e6:.0f} us "
+        f"({3*N/dt_iter/1e6:.0f} MDOF/s) - gather/scatter-bound, "
+        f"why the assembled operator owns this regime")
+    return best_gbps
 
 
 def build_tm_cyclic(grid_name, fallback, label, reorder="band"):
