@@ -110,15 +110,17 @@ def build(nx=17):
     # this tangent despite 2 matvecs/iteration (fewer, more productive
     # iterations).  max_it is the per-refinement-pass f32 Krylov cap;
     # coarse_agg=8 trades a slightly larger dense coarse space for fewer
-    # iterations.  adaptive_rtol: with the dense preconditioner one
-    # BiCGStab iteration reaches 1e-6 (measured: probe on the 1h creep
-    # tangent), so the per-iteration cost is DOMINATED by grinding every
-    # linearized solve to rtol=1e-12 through f64 defect-correction passes;
-    # Eisenstat-Walker solves only as tight as the fixed-point error needs
-    # while convergence is still only declared after a full-rtol solve.
+    # iterations.  adaptive_rtol stays OFF (the library default): measured
+    # per-step in the yielding regime (steps 21-40, cavern600), always-
+    # tight converges in 3 fp-iters/step at 219 krylov-iters/step vs the
+    # Eisenstat-Walker path's 5 fp-iters at 239 - loose iterations do not
+    # count toward convergence (it is declared on a tight iteration), so
+    # they only add tangent rebuilds, and at yield onset a hostile tangent
+    # makes loose solves stall and roll back (momentum._make_fp).  The
+    # benchmarked config is therefore exactly what a user of the
+    # documented API gets.
     eq.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12,
-                                    max_it=400, coarse_agg=8,
-                                    adaptive_rtol=True))
+                                    max_it=400, coarse_agg=8))
     n = eq.n_elems
     log("building material...")
     one = np.ones(n)
@@ -509,12 +511,11 @@ def build_tm_cyclic(grid_name, fallback, label, reorder="band"):
     inter = per_region(0.0, 1.0)
     salt = 1.0 - inter
     eq = sc.LinearMomentum(grid, theta=0.5)
-    # same solver regime as the headline config: adaptive inner tolerance
-    # (Eisenstat-Walker) + lagged tangent rebuilds; convergence is still
-    # declared only after a fresh-tangent full-rtol iteration
+    # same solver regime as the headline config: always-tight solves (the
+    # library default; see the headline config note for the measurement
+    # that retired adaptive_rtol from the bench regime)
     eq.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12,
-                                    max_it=400, coarse_agg=8,
-                                    adaptive_rtol=True))
+                                    max_it=400, coarse_agg=8))
     mat = sc.Material(n)
     mat.set_density(2200.0 * salt + 2900.0 * inter)
     E = 102e9 * salt + 70e9 * inter

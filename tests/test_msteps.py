@@ -165,6 +165,46 @@ class TestFp32Phase:
         np.testing.assert_allclose(b, a, rtol=1e-5, err_msg="alpha")
 
 
+class TestAdaptiveRtol:
+    """adaptive_rtol=True (the bench headline regime) must track the
+    always-tight path: loose early solves shape the iteration path only
+    (convergence is declared on a tight iteration), and the loose-mode
+    rollback net in momentum._make_fp demotes any misbehaving adaptive
+    iteration (stalled Krylov solve, stress blow-up, non-finite) to the
+    proven tight-only path from the step-entry state.  Regression for the
+    cavern600 yield-onset false convergence: a stalled 800-iteration solve
+    left the strain unchanged, err read 0, and the poisoned commit NaNed
+    the following step."""
+
+    def test_matches_tight_path(self):
+        import safeincave_tpu as sc
+
+        eq_t = _build()
+        for t in TS:
+            ite, err = eq_t.solve_time_step(t, DT, tol=1e-8, maxiter=40)
+            assert err <= 1e-8 and np.isfinite(err)
+            eq_t.commit_time_step(DT)
+
+        eq_a = _build()
+        eq_a.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12,
+                                          max_it=200, precision="f64",
+                                          adaptive_rtol=True))
+        for t in TS:
+            ite, err = eq_a.solve_time_step(t, DT, tol=1e-8, maxiter=40)
+            assert err <= 1e-8 and np.isfinite(err)
+            eq_a.commit_time_step(DT)
+
+        for attr in ("u", "sig_v", "eps_tot_v"):
+            a = np.asarray(getattr(eq_a, attr))
+            b = np.asarray(getattr(eq_t, attr))
+            scale = max(np.abs(b).max(), 1e-300)
+            np.testing.assert_allclose(a, b, rtol=2e-7, atol=2e-7 * scale,
+                                       err_msg=attr)
+        a = np.asarray(eq_a.mat.elems_ne[-1].state["alpha"])
+        b = np.asarray(eq_t.mat.elems_ne[-1].state["alpha"])
+        np.testing.assert_allclose(a, b, rtol=1e-5, err_msg="alpha")
+
+
 class TestF32Polymorphism:
     """Every constitutive element must compute natively in f32 when fed f32
     state/stress - a single strong-typed f64 constant (numpy scalar, f64
