@@ -19,6 +19,20 @@ def _run_example(path, tmp_path, monkeypatch, kwargs=None):
 EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
 
 
+def _run_plot(example_dir, out_dir):
+    """Drive the example's plot_results.py (headless Agg) on the outputs
+    the sim test just produced, and assert the PNG landed - the reference
+    examples-contract includes post-processing, not just solving."""
+    path = os.path.join(EXAMPLES, *example_dir, "plot_results.py")
+    sys.path.insert(0, os.path.dirname(path))
+    try:
+        mod = runpy.run_path(path, run_name="not_main")
+        mod["main"](str(out_dir))
+    finally:
+        sys.path.pop(0)
+    assert os.path.isfile(os.path.join(str(out_dir), "results.png"))
+
+
 @pytest.mark.slow
 def test_thermal_cube(tmp_path, monkeypatch):
     _run_example(os.path.join(EXAMPLES, "thermal", "1_cube", "main.py"),
@@ -31,6 +45,7 @@ def test_thermomechanics_cube(tmp_path, monkeypatch):
     _run_example(os.path.join(EXAMPLES, "thermomechanics", "1_cube",
                               "main.py"), tmp_path, monkeypatch)
     assert os.path.isfile(tmp_path / "output" / "tm_cube" / "mom" / "u" / "u.xdmf")
+    _run_plot(("thermomechanics", "1_cube"), tmp_path / "output" / "tm_cube")
 
 
 @pytest.mark.slow
@@ -39,6 +54,7 @@ def test_triaxial(tmp_path, monkeypatch):
                               "main.py"), tmp_path, monkeypatch,
                  kwargs={"final_time": 2.0, "dt": 0.5})
     assert os.path.isfile(tmp_path / "output" / "case_0" / "u" / "u.xdmf")
+    _run_plot(("mechanics", "1_triaxial"), tmp_path / "output" / "case_0")
 
 
 @pytest.mark.slow
@@ -48,6 +64,7 @@ def test_cavern_staged(tmp_path, monkeypatch):
                  kwargs={"eq_hours": 2.0, "eq_dt": 1.0,
                          "op_hours": 2.0, "op_dt": 1.0})
     assert os.path.isfile(tmp_path / "output" / "operation" / "u" / "u.xdmf")
+    _run_plot(("mechanics", "4_cavern"), tmp_path / "output")
 
 
 @pytest.mark.slow
@@ -55,6 +72,7 @@ def test_cube_regions(tmp_path, monkeypatch):
     _run_example(os.path.join(EXAMPLES, "mechanics", "2_cube_regions",
                               "main.py"), tmp_path, monkeypatch)
     assert os.path.isfile(tmp_path / "output" / "case_0" / "u" / "u.xdmf")
+    _run_plot(("mechanics", "2_cube_regions"), tmp_path / "output" / "case_0")
 
 
 @pytest.mark.slow
@@ -65,6 +83,7 @@ def test_nobian_interlayer(tmp_path, monkeypatch):
     out = tmp_path / "output" / "nobian_interlayer"
     assert os.path.isfile(out / "u" / "u.xdmf")
     assert os.path.isfile(out / "ksp_log.jsonl")
+    _run_plot(("mechanics", "nobian_interlayer"), out)
 
 
 CAVERN_GRID = "/root/reference/grids/cavern_regular_600_3D"
@@ -81,6 +100,7 @@ def test_thermal_cavern(tmp_path, monkeypatch):
                  kwargs={"n_time_steps": 3, "final_time": 0.1,
                          "time_unit": "day"})
     assert os.path.isfile(tmp_path / "output" / "case_0" / "T" / "T.xdmf")
+    _run_plot(("thermal", "2_cavern"), tmp_path / "output" / "case_0")
 
 
 @pytest.mark.slow
@@ -97,6 +117,7 @@ def test_thermomechanics_cavern_staged(tmp_path, monkeypatch):
     assert os.path.isfile(out / "equilibrium" / "u" / "u.xdmf")
     assert os.path.isfile(out / "operation" / "u" / "u.xdmf")
     assert os.path.isfile(out / "operation" / "T" / "T.xdmf")
+    _run_plot(("thermomechanics", "2_cavern"), out)
 
 
 def test_multimodel_calibration_recovers_params():
