@@ -176,10 +176,16 @@ def build(nx=17):
             bc.add_boundary_condition(momBC.NeumannBC(
                 nm, 2, 0.0, 0.0, list(p_sched), list(t_sched), g=0.0))
     eq.set_boundary_conditions(bc)
-    # no enable_* call: LinearMomentum auto-selects the band matvec on
-    # accelerators for band-ordered grids (library default = headline path)
-    if getattr(eq.kernel, "band", None) is not None:
-        log("matvec backend: pallas-band (auto-selected)")
+    # no enable_* call: the benchmark measures the library default exactly
+    # as a user gets it (r03 post-mortem: never benchmark a backend that
+    # has not already finished a solve on this hardware)
+    for attr, nm in (("dia", "block-DIA"), ("blockell", "block-ELL"),
+                     ("band", "pallas-band")):
+        if getattr(eq.kernel, attr, None) is not None:
+            log(f"matvec backend: {nm} (auto-selected)")
+            break
+    else:
+        log("matvec backend: matrix-free cumsum (library default)")
     return eq
 
 

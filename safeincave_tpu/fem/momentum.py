@@ -599,12 +599,14 @@ class LinearMomentum(LinearMomentumBase):
         self._precond = None
         # Backend auto-selection: on accelerators, an offset-structured
         # node numbering (regular boxes) gets the zero-gather block-DIA
-        # operator (fem/dia.py, streams at HBM rate, both precisions); a
-        # band-ordered grid gets the Pallas band matvec as the f32 Krylov
-        # operator (the measured winner at cavern scale; the f64
-        # defect-correction path keeps the cumsum kernel).  Converged
-        # fields are identical either way (same operator, f64 criterion).
-        # Opt out with auto_backend=False or enable_*_matvec() explicitly.
+        # operator (fem/dia.py, streams at HBM rate, both precisions).
+        # Band-ordered unstructured grids keep the matrix-free cumsum
+        # kernel: it is the configuration proven end-to-end on TPU
+        # hardware (r02 headline).  The Pallas band matvec - auto-selected
+        # for one round - hung the first elastic solve on a real v5e
+        # (BENCH_r03 post-mortem) and is now strictly opt-in via
+        # enable_band_matvec() until it has a same-round hardware record.
+        # Opt out entirely with auto_backend=False.
         if auto_backend and jax.default_backend() != "cpu":
             method = getattr(grid, "reorder_method", None)
             if method in (None, "natural"):
@@ -612,11 +614,6 @@ class LinearMomentum(LinearMomentumBase):
                     self.kernel.enable_dia()
                 except ValueError:
                     pass   # unstructured numbering: keep the cumsum kernel
-            elif method == "band":
-                try:
-                    self.kernel.enable_band()
-                except Exception:
-                    pass   # non-band-able connectivity: keep cumsum
 
     def set_solver(self, solver):
         super().set_solver(solver)
