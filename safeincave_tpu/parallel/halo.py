@@ -1,27 +1,35 @@
-"""Owned-node domain decomposition with O(interface) halo exchange.
+"""Owned-node domain decomposition with neighbor-only halo exchange.
 
 Scaling v2 of the SPMD layer (see parallel/sharding.py for v1, which
 replicates nodal vectors and psums full (n_nodes, 3) arrays every matvec).
 Here the mesh is RCB-partitioned into spatially compact parts, nodes are
 owned by the first part that touches them, and the distributed stiffness
-action communicates **only part-boundary rows**:
+action communicates **only part-boundary rows, only between geometric
+neighbors** - the same point-to-point ghost-update semantics as the
+reference's PETSc layer (MomentumEquation.py:915-922, ghost layers
+Grid.py:282-283):
 
-    forward:  each device all_gathers the boundary-owned rows the others
-              need (send volume = max_send per device);
+    forward:  the directed neighbor graph {owner -> borrower} is
+              edge-colored into R rounds of ``lax.ppermute`` (R = max
+              neighbor degree; RCB parts have bounded degree, so R stays
+              ~6-10 at any device count).  Each round every device sends
+              at most one neighbor the rows that neighbor borrows.
     element kernel: pure local gather -> dense -> local segment scatter;
-    reverse:  halo partial sums travel back (volume = max_halo per device)
-              and are segment-added into their owners.
+    reverse:  the same rounds run with each permutation reversed, shipping
+              halo partial sums back to their owners, which segment-add
+              them into owned rows.
 
-Per-matvec communicated volume is O(D * max(boundary)) = O(interface),
-the same asymptotic as the reference's PETSc ghost updates
-(MomentumEquation.py:915-922, ghost layers Grid.py:282-283), instead of the
-v1 psum's O(n_nodes * D).  Krylov vectors live owner-sharded (one
-(S, 3) block per device); dot products psum local partials, so no device
-touches global nodal arrays inside the solve.
+Per-matvec received volume per device is its true neighbor interface
+(sum of borrowed-row counts, padded to the largest single neighbor
+exchange) - NOT O(D * interface) as an all_gather would deliver - so the
+asymptotic matches PETSc's VecGhost point-to-point updates at any device
+count.  Krylov vectors live owner-sharded (one (S, 3) block per device);
+dot products psum local partials, so no device touches global nodal
+arrays inside the solve.
 
 All exchange index tables are static numpy built once per (mesh, nparts) in
-:class:`HaloPlan`; the device code is a single ``shard_map`` program using
-``lax.all_gather`` over the mesh axis (rides ICI).
+:class:`HaloPlan`; the device code is a single ``shard_map`` program whose
+``ppermute`` rounds ride ICI.
 """
 from __future__ import annotations
 
@@ -115,18 +123,73 @@ class HaloPlan:
                 send_idx[d, i] = node_perm[gid] - d * S   # local owned id
         self.send_idx = send_idx
 
-        # forward halo: local halo slot h of device d reads gathered row
-        # src_dev * B + src_pos
-        halo_src = np.zeros((D, H), dtype=np.int64)
         halo_local_id = []   # per device: gid -> local id (S + h)
         for d in range(D):
             table = {}
             for h, gid in enumerate(halos[d]):
-                o, pos = send_pos[gid]
-                halo_src[d, h] = o * B + pos
                 table[gid] = S + h
             halo_local_id.append(table)
-        self.halo_src = halo_src
+
+        # ---- neighbor exchange rounds (ppermute edge coloring) ---------- #
+        # directed pairs owner -> borrower with the rows each pair carries
+        pairs = {}               # (o, d) -> list of (send_local_on_o, slot_h)
+        for d in range(D):
+            for h, gid in enumerate(halos[d]):
+                o = owner[gid]
+                pairs.setdefault((o, d), []).append(
+                    (node_perm[gid] - o * S, h))
+        # greedy edge coloring: per round each device sends to at most one
+        # neighbor and receives from at most one (a partial permutation).
+        # For a bipartite multigraph this needs exactly max-degree rounds
+        # (Konig); the greedy below can exceed it slightly, which only adds
+        # a round, never correctness issues.
+        rounds = []              # list of {(o, d): rows}
+        for (o, d), rows in sorted(pairs.items(),
+                                   key=lambda kv: -len(kv[1])):
+            for rd in rounds:
+                if (not any(oo == o for (oo, _) in rd)
+                        and not any(dd == d for (_, dd) in rd)):
+                    rd[(o, d)] = rows
+                    break
+            else:
+                rounds.append({(o, d): rows})
+        self.R = R = len(rounds)
+
+        # per-device round tables with PER-ROUND buffer sizes (the largest
+        # pair in each round; descending-size greedy packing groups
+        # similar-size pairs, so small neighbor exchanges are not padded up
+        # to the single largest one).  pad values route to dump slots:
+        #   pair_send pad = S   (one zero row appended to the owned block)
+        #   pair_recv pad = H   (the halo dump slot)
+        self.pair_send = []      # per round: (D, Bp_r) local owned ids
+        self.pair_recv = []      # per round: (D, Bp_r) halo slots
+        self.perms = []          # per round: list of (src, dst) device pairs
+        self.round_sizes = []
+        for rd in rounds:
+            Bp_r = max(len(rows) for rows in rd.values())
+            ps = np.full((D, Bp_r), S, dtype=np.int64)
+            pr = np.full((D, Bp_r), H, dtype=np.int64)
+            perm = []
+            for (o, d), rows in sorted(rd.items()):
+                perm.append((o, d))
+                for i, (sid, h) in enumerate(rows):
+                    ps[o, i] = sid
+                    pr[d, i] = h
+            self.pair_send.append(ps)
+            self.pair_recv.append(pr)
+            self.perms.append(perm)
+            self.round_sizes.append(Bp_r)
+        # true per-device neighbor interface (for diagnostics/tests)
+        self.recv_rows_true = np.array(
+            [sum(len(rows) for (o, dd), rows in pairs.items() if dd == d)
+             for d in range(D)], dtype=np.int64)
+        self.sent_rows_true = np.array(
+            [sum(len(rows) for (oo, d2), rows in pairs.items() if oo == d)
+             for d in range(D)], dtype=np.int64)
+        self.recv_rows_padded = np.array(
+            [sum(sz for rd, sz in zip(rounds, self.round_sizes)
+                 for (o, dd) in rd if dd == d)
+             for d in range(D)], dtype=np.int64)
 
         # local connectivity in local ids
         conn_local = np.zeros((D, self.E_loc, 4), dtype=np.int32)
@@ -144,16 +207,6 @@ class HaloPlan:
         self.conn_local = conn_local
         self.elem_pad = elem_pad
 
-        # reverse exchange: device o receives the all-gathered halo partial
-        # sums (D*H rows); row d*H + h belongs to device d's halo node
-        # halos[d][h]; if owner == o it accumulates into its local id.
-        rev_target = np.full((D, D * H), S, dtype=np.int64)   # S = dump row
-        for d in range(D):
-            for h, gid in enumerate(halos[d]):
-                o = owner[gid]
-                rev_target[o, d * H + h] = node_perm[gid] - o * S
-        self.rev_target = rev_target
-
         # padded per-device geometry
         self.grad_N_local = np.zeros((D, self.E_loc, 4, 3))
         self.vol_local = np.zeros((D, self.E_loc))
@@ -164,12 +217,20 @@ class HaloPlan:
 
     # -- diagnostics ------------------------------------------------------ #
     def comm_volume_per_matvec(self) -> int:
-        """Rows communicated per device per matvec (fwd + rev)."""
-        return self.B + self.H
+        """Rows RECEIVED per device per matvec (forward; the reverse pass
+        moves the same rows back).  This is the padded wire volume of the
+        ppermute rounds: true neighbor-interface rows rounded up to the
+        largest single neighbor exchange - O(interface), independent of D,
+        unlike an all_gather's O(D * interface)."""
+        return int(self.recv_rows_padded.max(initial=0))
+
+    def comm_rows_true(self) -> int:
+        """True (unpadded) max neighbor-interface rows received per device."""
+        return int(self.recv_rows_true.max(initial=0))
 
     def interface_fraction(self) -> float:
         """Communicated rows / total owned rows (smallness = scalability)."""
-        return self.D * (self.B + self.H) / float(self.n_nodes)
+        return self.D * self.comm_volume_per_matvec() / float(self.n_nodes)
 
 
 class HaloMomentumSolver:
@@ -204,31 +265,58 @@ class HaloMomentumSolver:
         # emulated on TPU; the inner iterations run f32)
         self.grad_N_local32 = self.grad_N_local.astype(jnp.float32)
         self.vol_local32 = self.vol_local.astype(jnp.float32)
-        self.send_idx = put(plan.send_idx, jnp.int32)
-        self.halo_src = put(plan.halo_src, jnp.int32)
-        self.rev_target = put(plan.rev_target, jnp.int32)
+        self.pair_send = tuple(put(a, jnp.int32) for a in plan.pair_send)
+        self.pair_recv = tuple(put(a, jnp.int32) for a in plan.pair_recv)
         self.node_perm = jnp.asarray(plan.node_perm, dtype=jnp.int32)
         self.elem_gids_flat = jnp.asarray(plan.elem_gids.reshape(-1),
                                           dtype=jnp.int32)
         self.elem_pad_flat = jnp.asarray(plan.elem_pad.reshape(-1))
 
         ax = axis
-        S, H, B = plan.S, plan.H, plan.B
+        S, H = plan.S, plan.H
+        R = plan.R
+        perms = [list(p) for p in plan.perms]
+        rev_perms = [[(d, o) for (o, d) in p] for p in perms]
+
+        def _fwd_exchange(u_own, pair_send, pair_recv):
+            """Neighbor rounds: borrow the halo rows from their owners.
+
+            ``u_own`` is (S, 3) owned rows; returns (H + 1, 3) halo rows
+            (+ dump slot).  Each round ships one padded neighbor buffer
+            (per-round size Bp_r) via a partial-permutation ``ppermute``
+            (devices without a pair this round send nothing / receive
+            zeros)."""
+            u_ext = jnp.concatenate(
+                [u_own, jnp.zeros((1, 3), u_own.dtype)], axis=0)
+            halo = jnp.zeros((H + 1, 3), u_own.dtype)
+            for r in range(R):
+                buf = u_ext[pair_send[r]]                    # (Bp_r, 3)
+                rec = jax.lax.ppermute(buf, ax, perm=perms[r])
+                halo = halo.at[pair_recv[r]].add(rec)
+            return halo
+
+        def _rev_exchange(f_halo, pair_send, pair_recv, dtype_shape):
+            """Reverse rounds: ship halo partial sums back to their owners
+            and accumulate into owned rows.  ``f_halo`` is (H + 1, ...)
+            (with zero dump slot); returns (S, ...) owner accumulation."""
+            back = jnp.zeros((S + 1,) + dtype_shape, f_halo.dtype)
+            for r in range(R):
+                buf = f_halo[pair_recv[r]]                   # (Bp_r, ...)
+                rec = jax.lax.ppermute(buf, ax, perm=rev_perms[r])
+                back = back.at[pair_send[r]].add(rec)
+            return back[:S]
 
         def _matvec_local(CT, u_own, mask_own, conn, gradN, vol,
-                          send_idx, halo_src, rev_target):
+                          pair_send, pair_recv):
             # drop the leading device axis shard_map leaves on the blocks
             CT, u_own, mask_own = CT[0], u_own[0], mask_own[0]
             conn, gradN, vol = conn[0], gradN[0], vol[0]
-            send_idx, halo_src, rev_target = (send_idx[0], halo_src[0],
-                                              rev_target[0])
+            pair_send = tuple(a[0] for a in pair_send)
+            pair_recv = tuple(a[0] for a in pair_recv)
             u_own = u_own * mask_own
-            # forward halo exchange: boundary-owned rows only
-            send = u_own[send_idx]                            # (B, 3)
-            allg = jax.lax.all_gather(send, ax)               # (D, B, 3)
-            halo = allg.reshape(-1, 3)[halo_src]              # (H, 3)
-            u_loc = jnp.concatenate(
-                [u_own, halo, jnp.zeros((1, 3), u_own.dtype)], axis=0)
+            # forward halo exchange: neighbor-owned boundary rows only
+            halo = _fwd_exchange(u_own, pair_send, pair_recv)
+            u_loc = jnp.concatenate([u_own, halo], axis=0)    # dump = row S+H
             # local element kernel
             ue = u_loc[conn]                                  # (E_loc, 4, 3)
             grad_u = jnp.einsum("eai,eaj->eij", ue, gradN)
@@ -248,24 +336,23 @@ class HaloMomentumSolver:
                                         conn.reshape(-1),
                                         num_segments=S + H + 1)
             # reverse halo exchange: ship halo partials back to owners
-            rev = jax.lax.all_gather(f_loc[S:S + H], ax)      # (D, H, 3)
-            back = jax.ops.segment_sum(rev.reshape(-1, 3), rev_target,
-                                       num_segments=S + 1)[:S]
+            back = _rev_exchange(f_loc[S:], pair_send, pair_recv, (3,))
             f_own = (f_loc[:S] + back) * mask_own
             return f_own[None]
 
         self._matvec = shard_map(
             _matvec_local, mesh=mesh,
             in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax),
-                      P(ax), P(ax)),
+                      P(ax)),
             out_specs=P(ax))
 
-        def _blockdiag_local(CT, conn, gradN, vol, rev_target):
+        def _blockdiag_local(CT, conn, gradN, vol, pair_send, pair_recv):
             """Nodal 3x3 diagonal blocks of the stiffness, owner-assembled
             via the same reverse exchange as the matvec (the halo analog of
             ShardedMomentumKernel.block_diagonal's psum)."""
             CT, conn, gradN, vol = CT[0], conn[0], gradN[0], vol[0]
-            rev_target = rev_target[0]
+            pair_send = tuple(a[0] for a in pair_send)
+            pair_recv = tuple(a[0] for a in pair_recv)
             E3 = jnp.eye(3, dtype=gradN.dtype)
             gi = gradN[:, :, None, :]
             ei = E3[None, None, :, :]
@@ -282,14 +369,12 @@ class HaloMomentumSolver:
             d_loc = jax.ops.segment_sum(blk.reshape(-1, 3, 3),
                                         conn.reshape(-1),
                                         num_segments=S + H + 1)
-            rev = jax.lax.all_gather(d_loc[S:S + H], ax)       # (D, H, 3, 3)
-            back = jax.ops.segment_sum(rev.reshape(-1, 3, 3), rev_target,
-                                       num_segments=S + 1)[:S]
+            back = _rev_exchange(d_loc[S:], pair_send, pair_recv, (3, 3))
             return (d_loc[:S] + back)[None]
 
         self._blockdiag = shard_map(
             _blockdiag_local, mesh=mesh,
-            in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax)),
+            in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax)),
             out_specs=P(ax))
 
     # -- layout conversion (outside the Krylov loop) ----------------------- #
@@ -313,8 +398,7 @@ class HaloMomentumSolver:
                            u_pad.reshape(D, S, 3),
                            mask_pad.reshape(D, S, 3),
                            self.conn_local, self.grad_N_local,
-                           self.vol_local, self.send_idx, self.halo_src,
-                           self.rev_target)
+                           self.vol_local, self.pair_send, self.pair_recv)
         return out.reshape(D * S, 3)
 
     def ct_to_local(self, CT):
@@ -345,14 +429,13 @@ class HaloMomentumSolver:
         gradN, vol = self._geom(u_pad.dtype)
         out = self._matvec(CT_local, u_pad.reshape(D, S, 3),
                            mask_pad.reshape(D, S, 3), self.conn_local,
-                           gradN, vol, self.send_idx, self.halo_src,
-                           self.rev_target)
+                           gradN, vol, self.pair_send, self.pair_recv)
         return out.reshape(D * S, 3)
 
     def block_diagonal_padded(self, CT_local):
         """Owner-assembled nodal 3x3 stiffness blocks, (D*S, 3, 3)."""
         out = self._blockdiag(CT_local, self.conn_local, self.grad_N_local,
-                              self.vol_local, self.rev_target)
+                              self.vol_local, self.pair_send, self.pair_recv)
         return out.reshape(self.plan.D * self.S, 3, 3)
 
     def pad_rows(self, v):
