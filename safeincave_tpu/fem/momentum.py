@@ -75,6 +75,20 @@ class SolverSettings:
     # + ISV work, so the default is the reference's always-tight semantics
     # (PETSc rtol=1e-12 every iteration, Simulators.py:1075-1086).
     adaptive_rtol: bool = False
+    # lag_tangent=True rebuilds the consistent tangent suite (G, CT, B and
+    # the ISV linearization scalars) only when needed - first f64 iteration,
+    # an iteration whose error failed to contract under the lagged tangent,
+    # or a convergence candidate (err within 10x of tol) - instead of every
+    # fixed-point iteration like the reference (MomentumEquation.py:799-820).
+    # Every solve stays tight (rtol), and convergence is only declared on a
+    # FRESH-tangent iteration, so committed fields satisfy the identical
+    # f64 fixed-point criterion; the lag shapes the iteration path (changes
+    # fields by O(tol) iteration noise), not the fixed point - the tangent's
+    # G:(sigma-sigma_k) corrector terms vanish at convergence.  Off by
+    # default to keep golden trajectories bit-identical; the benchmark
+    # regime enables it (tangent rebuild+CT inversion is a top per-step
+    # cost at cavern scale).
+    lag_tangent: bool = False
     # fp32_phase="auto" runs the EARLY fixed-point iterations of each time
     # step entirely in float32 (tangents, assembly, Krylov, stress/ISV
     # updates) while the strain-change error is above fp32_switch, then
@@ -818,6 +832,9 @@ class LinearMomentum(LinearMomentumBase):
         elems_ne = list(mat.elems_ne)
         trivial_error = (theta == 1.0) or (len(elems_ne) == 0)
         adaptive = self.solver.adaptive_rtol
+        # modified-Newton tangent lagging with always-tight solves (the
+        # adaptive path has its own rebuild policy tied to loose/tight)
+        lag = self.solver.lag_tangent and not adaptive and not trivial_error
         _, apply_M = self._get_precond()
         solve_lin = self._make_solver(apply_M)
         halo = getattr(self, "_halo", None)
@@ -1155,11 +1172,19 @@ class LinearMomentum(LinearMomentumBase):
                     return (new_states, kern.prep(G),
                             kern.prep(mat.f_CT(G, dt, theta)), B6n, sv_k)
 
-                if trivial_error or not adaptive:
+                if trivial_error or not (adaptive or lag):
                     rebuild = jnp.asarray(True)
                     new_states, G_p, CT, B6, sv_lin = fresh(None)
                 else:
-                    rebuild = (~have) | tight | (~contracted)
+                    if adaptive:
+                        rebuild = (~have) | tight | (~contracted)
+                    else:
+                        # lag mode: rebuild on the first f64 iteration, on
+                        # contraction failure, and when the previous error
+                        # entered the convergence neighborhood (so the
+                        # declaring iteration always runs a fresh tangent)
+                        rebuild = ((~have) | (~contracted)
+                                   | (err_prev <= 10.0 * tol))
 
                     def stale(_):
                         return (states, G_p, CT_p, B6_c, sv_lin)
@@ -1264,8 +1289,12 @@ class LinearMomentum(LinearMomentumBase):
                 stats = (kry_tot + kry, kry, lin_res)
                 tan = ((have | rebuild) & ~bad, G_p, CT, B6, sv_lin,
                        jnp.where(bad, True, err < 0.7 * err_prev))
+                # convergence may only be declared after an iteration that
+                # was BOTH tight and fresh-tangent (identical final-iteration
+                # semantics to the reference's always-fresh loop); in the
+                # always-fresh path this reduces to `tight` as before
                 return (states3, sv_new, eps_new, u_new, sv_k, ite + 1, err,
-                        stats, tight | bad, tan)
+                        stats, (tight & rebuild) | bad, tan)
 
             def cond(carry):
                 *_, ite, err, stats, was_tight, tan = carry

@@ -59,4 +59,3 @@ class TestGoldenFields:
             _check(u, "inter_u", z)
             _check(sv, "inter_sig", z)
             _check(T, "inter_T", z)
-            _check(T, "tm_T", z)

@@ -205,6 +205,45 @@ class TestAdaptiveRtol:
         np.testing.assert_allclose(a, b, rtol=1e-5, err_msg="alpha")
 
 
+class TestLagTangent:
+    """lag_tangent=True (modified-Newton) must track the always-fresh path:
+    lagged tangents shape the iteration path only - convergence is declared
+    exclusively on a fresh-tangent tight iteration, so the committed fields
+    satisfy the identical f64 fixed-point criterion and agree to ~tol-level
+    iteration noise (the G:(sigma-sigma_k) corrector terms vanish at the
+    fixed point)."""
+
+    def test_matches_fresh_path(self):
+        import safeincave_tpu as sc
+
+        eq_f = _build()
+        for t in TS:
+            ite, err = eq_f.solve_time_step(t, DT, tol=1e-8, maxiter=40)
+            assert err <= 1e-8 and np.isfinite(err)
+            eq_f.commit_time_step(DT)
+
+        eq_l = _build()
+        eq_l.set_solver(sc.SolverSettings(method="bicgstab", rtol=1e-12,
+                                          max_it=200, precision="f64",
+                                          lag_tangent=True))
+        iters_lag = 0
+        for t in TS:
+            ite, err = eq_l.solve_time_step(t, DT, tol=1e-8, maxiter=40)
+            assert err <= 1e-8 and np.isfinite(err)
+            iters_lag += ite
+            eq_l.commit_time_step(DT)
+
+        for attr in ("u", "sig_v", "eps_tot_v"):
+            a = np.asarray(getattr(eq_l, attr))
+            b = np.asarray(getattr(eq_f, attr))
+            scale = max(np.abs(b).max(), 1e-300)
+            np.testing.assert_allclose(a, b, rtol=2e-7, atol=2e-7 * scale,
+                                       err_msg=attr)
+        a = np.asarray(eq_l.mat.elems_ne[-1].state["alpha"])
+        b = np.asarray(eq_f.mat.elems_ne[-1].state["alpha"])
+        np.testing.assert_allclose(a, b, rtol=1e-5, err_msg="alpha")
+
+
 class TestF32Polymorphism:
     """Every constitutive element must compute natively in f32 when fed f32
     state/stress - a single strong-typed f64 constant (numpy scalar, f64
