@@ -129,9 +129,28 @@ def cavern_proxy_1200():
     cavern_proxy(name="cavern_proxy_1200", L=1200.0, H=1600.0, n=18)
 
 
+def cavern_interlayer_1200():
+    """Repo-OWNED 1200-level heterogeneous production mesh (BASELINE
+    config 5 class; reference grids/cavern_A5_interlayer_3D semantics:
+    ~40k tets, salt formation with dipping interlayers AND a non-salt
+    overburden cap above the formation).  Unlike the *_proxy fixtures this
+    is not a stand-in for a reference mesh lookup — bench.py's
+    interlayer1200-TM row names it directly, so BASELINE config 5 runs
+    with no reference checkout mounted."""
+    from safeincave_tpu.mesh.cavern_gen import cavern_mesh, InterlayerBand
+    points, tets, tet_tags, tris, tri_tags, fd = cavern_mesh(
+        L=1200.0, H=1600.0, n=17,
+        interlayers=[InterlayerBand(600.0, 70.0, dip_deg=8.0),
+                     InterlayerBand(1050.0, 60.0, dip_deg=-5.0)],
+        overburden_from=1350.0)
+    save("cavern_interlayer_1200", points, tets, tet_tags, tris, tri_tags,
+         fd)
+
+
 if __name__ == "__main__":
     cube()
     cube_regions()
     cavern_proxy()
     cavern_proxy_1200()
     cavern_interlayer_proxy()
+    cavern_interlayer_1200()

@@ -63,7 +63,8 @@ class InterlayerBand:
 
 def cavern_mesh(L=450.0, H=660.0, n=12, nz=None,
                 cavern: CavernProfile | None = None,
-                interlayers: list[InterlayerBand] | None = None):
+                interlayers: list[InterlayerBand] | None = None,
+                overburden_from: float | None = None):
     """Build (points, tets, tet_tags, tris, tri_tags, field_data).
 
     Region naming follows the reference interlayer meshes: with k bands the
@@ -71,6 +72,11 @@ def cavern_mesh(L=450.0, H=660.0, n=12, nz=None,
     Interlayer_k, Salt_top (a single "Salt" region when k = 0).  Boundary
     names: West/East/South/North/Bottom/Top plus "Cavern" for the facets
     exposed by carving the profile.
+
+    ``overburden_from`` splits everything above that z level off the top
+    salt slab into an "Overburden" region — the reference's heterogeneous
+    1200-level meshes (grids/cavern_A5_interlayer_3D semantics: non-salt
+    cap rock above the salt formation) carry the same extra region.
     """
     nz = nz or max(2, int(round(n * H / L)))
     points, tets, tet_tags, tris, tri_tags, fd = box_mesh(L, L, H, n, n, nz)
@@ -114,6 +120,12 @@ def cavern_mesh(L=450.0, H=660.0, n=12, nz=None,
         field_data["Salt"] = (1, 3)
         tag = 2
 
+    if overburden_from is not None:
+        cap = cents[:, 2] > overburden_from
+        tet_tags = np.where(cap, tag, tet_tags).astype(np.int32)
+        field_data["Overburden"] = (tag, 3)
+        tag += 1
+
     # --- boundary facets: exterior faces of the carved mesh -------------- #
     faces = tets[:, _FACES].reshape(-1, 3)
     fs = np.sort(faces, axis=1)
@@ -147,6 +159,7 @@ class GridCavern(Grid):
     """In-memory multi-region cavern grid (see :func:`cavern_mesh`)."""
 
     def __init__(self, L=450.0, H=660.0, n=12, nz=None, cavern=None,
-                 interlayers=None):
+                 interlayers=None, overburden_from=None):
         super().__init__(*cavern_mesh(L=L, H=H, n=n, nz=nz, cavern=cavern,
-                                      interlayers=interlayers))
+                                      interlayers=interlayers,
+                                      overburden_from=overburden_from))

@@ -117,6 +117,10 @@ CONFIGS = {
     "interlayer600_tm": lambda n: measure_tm(
         "cavern_interlayer_600_3D", "cavern_interlayer_proxy",
         "interlayer600-TM", n),
+    # repo-owned 1200-level heterogeneous production mesh (BASELINE
+    # config 5 without the reference checkout)
+    "interlayer1200_tm": lambda n: measure_tm(
+        "cavern_interlayer_1200", None, "interlayer1200-TM", n),
 }
 
 
