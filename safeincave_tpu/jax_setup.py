@@ -19,6 +19,18 @@ jax.config.update("jax_enable_x64", True)
 # accumulation for all einsum/dot lowering.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Respect an explicit JAX_PLATFORMS from the user.  Some hosts install
+# terminal hooks that force jax_platforms to the accelerator at interpreter
+# startup, AFTER the env var is read - so `JAX_PLATFORMS=cpu python main.py`
+# silently lands on the TPU (and blocks on whatever it is running).  The
+# env var is the documented contract; re-assert it here.
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    try:
+        jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+
 # Persistent compilation cache: first-compile through the TPU toolchain is
 # slow (tens of seconds per program); cached reloads are near-instant.
 _cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
