@@ -199,9 +199,17 @@ def build(nx=17):
             bc.add_boundary_condition(momBC.NeumannBC(
                 nm, 2, 0.0, 0.0, list(p_sched), list(t_sched), g=0.0))
     eq.set_boundary_conditions(bc)
-    # no enable_* call: the benchmark measures the library default exactly
-    # as a user gets it (r03 post-mortem: never benchmark a backend that
-    # has not already finished a solve on this hardware)
+    # default: no enable_* call - the benchmark measures the library
+    # default exactly as a user gets it (r03 post-mortem: never benchmark
+    # a backend that has not already finished a solve on this hardware).
+    # BENCH_BACKEND overrides for A/B experiments: band | blockell | dia.
+    forced = os.environ.get("BENCH_BACKEND", "")
+    if forced:
+        try:
+            getattr(eq, f"enable_{forced}_matvec")()
+            log(f"matvec backend: {forced} (BENCH_BACKEND override)")
+        except (AttributeError, ValueError) as exc:
+            log(f"BENCH_BACKEND={forced} unavailable: {exc}")
     for attr, nm in (("dia", "block-DIA"), ("blockell", "block-ELL"),
                      ("band", "pallas-band")):
         if getattr(eq.kernel, attr, None) is not None:
