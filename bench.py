@@ -377,7 +377,8 @@ def bench_tm(eq_mech, n_steps=5):
     _jax.block_until_ready(eq.u)
     per = (time.time() - t0) / max(len(stats), 1)
     log(f"TM config (fused driver): {per*1000:.1f} ms/step over "
-        f"{len(stats)} steps ({stats[:, 2].mean():.1f} fp-iters/step, heat "
+        f"{len(stats)} steps ({stats[:, 2].mean():.1f} fp-iters/step, "
+        f"{stats[:, 4].mean():.0f} krylov-iters/step, heat "
         f"{stats[:, 0].mean():.0f} cg-iters/step, {retries} dt-retries, "
         f"err={stats[-1, 3]:.1e})")
 
@@ -684,8 +685,8 @@ def bench_tm_cyclic(grid_name, fallback, label, baseline_key=None,
           f"{ratio:.1f}x" if ratio else "")
     log(f"[{label}] TM cyclic (fused driver): {per*1000:.1f} ms/step over "
         f"{n_ok}/{n_steps} steps ({stats[:n_ok, 2].mean():.1f} "
-        f"fp-iters/step, heat {stats[:n_ok, 0].mean():.0f} cg-iters/step)"
-        f"{vs}")
+        f"fp-iters/step, {stats[:n_ok, 4].mean():.0f} krylov-iters/step, "
+        f"heat {stats[:n_ok, 0].mean():.0f} cg-iters/step){vs}")
 
 
 def main():

@@ -613,14 +613,16 @@ class LinearMomentum(LinearMomentumBase):
         self._precond = None
         # Backend auto-selection: on accelerators, an offset-structured
         # node numbering (regular boxes) gets the zero-gather block-DIA
-        # operator (fem/dia.py, streams at HBM rate, both precisions).
-        # Band-ordered unstructured grids keep the matrix-free cumsum
-        # kernel: it is the configuration proven end-to-end on TPU
-        # hardware (r02 headline).  The Pallas band matvec - auto-selected
-        # for one round - hung the first elastic solve on a real v5e
-        # (BENCH_r03 post-mortem) and is now strictly opt-in via
-        # enable_band_matvec() until it has a same-round hardware record.
-        # Opt out entirely with auto_backend=False.
+        # operator (fem/dia.py, streams at HBM rate, both precisions);
+        # band-ordered grids get the Pallas band matvec as the f32 Krylov
+        # operator (the f64 defect-correction path keeps the cumsum
+        # kernel, so converged fields are identical).  The band selection
+        # follows its same-round hardware record: 188 ms/step on the
+        # cavern600 headline vs 313 ms/step matrix-free (a real v5e,
+        # r04) - what hung r03 was the ~560 s COLD compile of this
+        # program tripping the bench watchdog, not the kernel (same
+        # program, warm cache: 3.8 s for 20 steps).  Opt out entirely
+        # with auto_backend=False.
         if auto_backend and jax.default_backend() != "cpu":
             method = getattr(grid, "reorder_method", None)
             if method in (None, "natural"):
@@ -628,6 +630,11 @@ class LinearMomentum(LinearMomentumBase):
                     self.kernel.enable_dia()
                 except ValueError:
                     pass   # unstructured numbering: keep the cumsum kernel
+            elif method == "band":
+                try:
+                    self.kernel.enable_band()
+                except Exception:
+                    pass   # band plan unavailable: keep the cumsum kernel
 
     def set_solver(self, solver):
         super().set_solver(solver)
