@@ -114,7 +114,8 @@ def build(nx=17):
         log(f"mesh: synthetic box ({grid.n_nodes} nodes, {grid.n_elems} tets)")
         names = grid.get_boundary_names()
 
-    eq = sc.LinearMomentum(grid, theta=0.5)
+    eq = sc.LinearMomentum(grid, theta=0.5,
+                           auto_backend=os.environ.get("BENCH_NO_BAND") != "1")
     # BiCGStab measures ~2x faster per converged solve than CG on TPU for
     # this tangent despite 2 matvecs/iteration (fewer, more productive
     # iterations).  max_it is the per-refinement-pass f32 Krylov cap;
@@ -202,6 +203,9 @@ def build(nx=17):
     # default: no enable_* call - the benchmark measures the library
     # default exactly as a user gets it (r03 post-mortem: never benchmark
     # a backend that has not already finished a solve on this hardware).
+    # BENCH_NO_BAND=1 (set by main() when the cold-compile probe misses its
+    # deadline) drops the Pallas band backend for the proven cold-fast
+    # matrix-free path.
     # BENCH_BACKEND overrides for A/B experiments: band | blockell | dia.
     forced = os.environ.get("BENCH_BACKEND", "")
     if forced:
@@ -279,7 +283,8 @@ def bench_tm(eq_mech, n_steps=5):
     heat = sc.HeatDiffusion(grid)
     heat.set_solver(sc.SolverSettings(method="cg", rtol=1e-12, max_it=400))
 
-    eq = sc.LinearMomentum(grid, theta=0.5)
+    eq = sc.LinearMomentum(grid, theta=0.5,
+                           auto_backend=os.environ.get("BENCH_NO_BAND") != "1")
     eq.set_solver(eq_mech.solver)
     mat = sc.Material(n)
     mat.set_density(2200.0 * one)
@@ -554,7 +559,8 @@ def build_tm_cyclic(grid_name, fallback, label, reorder="band"):
     inter = per_region(0.0, 1.0, 0.0)
     over = per_region(0.0, 0.0, 1.0)
     salt = 1.0 - inter - over
-    eq = sc.LinearMomentum(grid, theta=0.5)
+    eq = sc.LinearMomentum(grid, theta=0.5,
+                           auto_backend=os.environ.get("BENCH_NO_BAND") != "1")
     # same solver regime as the headline config: always-tight solves (the
     # library default; see the headline config note for the measurement
     # that retired adaptive_rtol from the bench regime)
@@ -703,11 +709,48 @@ def main():
     default 540 s).  The persistent compile cache (/tmp/jax_cache) makes
     warm reruns report every section.
     """
-    import jax
-    import safeincave_tpu  # noqa: F401  (x64)
-
     t_start = time.time()
     budget = float(os.environ.get("BENCH_BUDGET_S", "540"))
+
+    # ---- band cold-compile probe (r03/r04 post-mortem) ----------------- #
+    # The Pallas band backend is ~1.7x faster per step than the matrix-free
+    # kernel on this chip, but a COLD Mosaic compile of the two headline
+    # programs costs ~500 s EACH through the tunnel (measured 2026-08-20:
+    # elastic 496 s, fused 20-step chunk 567 s) - far past the driver's
+    # budget.  A warm persistent cache loads both in seconds.  So: a child
+    # process (before THIS process touches the TPU) runs the exact headline
+    # programs under a hard deadline.  Warm cache -> child finishes fast and
+    # the parent compiles from cache.  Cold cache -> child is killed and the
+    # parent falls back to the matrix-free kernel, whose cold compiles are
+    # proven to fit the budget (r02: elastic 14.9 s, fused chunk 55.3 s).
+    # The headline backend is therefore always one that CAN deliver a
+    # headline in this process's remaining budget.  BENCH_NO_PROBE=1 skips
+    # the child (trust the cache); BENCH_NO_BAND=1 skips band entirely.
+    probe_s = float(os.environ.get("BENCH_PROBE_S", "150"))
+    if (not os.environ.get("BENCH_NO_BAND")
+            and os.environ.get("BENCH_NO_PROBE", "0") != "1"):
+        import subprocess
+        t0 = time.time()
+        ok, why = False, ""
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--probe"],
+                timeout=probe_s, capture_output=True)
+            ok = r.returncode == 0
+            if not ok:
+                why = (r.stderr or b"")[-400:].decode(errors="replace")
+        except subprocess.TimeoutExpired:
+            why = f"deadline {probe_s:.0f}s exceeded"
+        if ok:
+            log(f"band probe: headline programs ready (cache warm) "
+                f"in {time.time()-t0:.0f}s")
+        else:
+            os.environ["BENCH_NO_BAND"] = "1"
+            log(f"band probe failed ({why.strip() or 'killed'}) - "
+                f"falling back to the matrix-free kernel for every section")
+
+    import jax
+    import safeincave_tpu  # noqa: F401  (x64)
 
     def remaining():
         return budget - (time.time() - t_start)
@@ -917,5 +960,33 @@ def bench_hostsync(eq, dt, n_steps):
         f"last-solve res={eq.solver_stats[1]:.2e}")
 
 
+def probe():
+    """Child-process probe: compile (or load from the persistent cache) the
+    exact two headline programs - elastic solve + fused 20-step chunk - and
+    exit 0.  Killed by the parent's deadline when the cache is cold (a cold
+    Mosaic compile of the band programs costs ~500 s each).  build() is
+    deterministic, so the jaxprs - and therefore the cache keys - match the
+    parent's headline phase exactly."""
+    import jax
+    import safeincave_tpu  # noqa: F401  (x64)
+    eq = build()
+    eq.bc.update_dirichlet(0.0)
+    eq.bc.update_neumann(0.0)
+    eq.solve_elastic_response()
+    jax.block_until_ready(eq.u)
+    eps = eq.compute_total_strain()
+    eq.compute_elastic_stress(eps)
+    eq.compute_eps_ne_rate(eq.sig_v, 0.0)
+    eq.update_eps_ne_rate_old()
+    dt, n = 3600.0, 20
+    eq.solve_time_steps([(k + 1) * dt for k in range(n)], [dt] * n,
+                        tol=1e-8, maxiter=40)
+    jax.block_until_ready(eq.u)
+    log("probe: headline programs compiled")
+
+
 if __name__ == "__main__":
-    main()
+    if "--probe" in sys.argv:
+        probe()
+    else:
+        main()
