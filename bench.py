@@ -44,6 +44,16 @@ import signal
 import sys
 import time
 
+# NOTE on compile routing (r05): terminal-side XLA compiles traverse the
+# TPU tunnel at minutes per cold program (measured 496-567 s for the band
+# programs, ~300 s for the elastic solve).  Local AOT compilation
+# (PALLAS_AXON_REMOTE_COMPILE=0) compiles the same programs in seconds but
+# the terminal REJECTS the client's h2d uploads on a libtpu version
+# mismatch (client Jan-2026 vs terminal Nov-2025 build), so it is not
+# usable here.  The persistent cache below is therefore the load-bearing
+# mitigation: a warm cache loads every headline program in seconds
+# (measured 5.7 s for the elastic solve vs 300.7 s cold).
+
 # Persistent XLA compile cache (set BEFORE jax import): a warm cache turns
 # the fused-driver first chunk from ~55 s into seconds, which is the margin
 # between "every section reports" and "watchdog kills the round" (r03
@@ -63,6 +73,34 @@ HBM_GBPS = 819.0                  # TPU v5e HBM bandwidth roofline
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def fetch(x, timeout_s, what="array"):
+    """Device-to-host transfer under a deadline.
+
+    Returns the numpy value, or None if the tunnel's d2h path missed the
+    deadline (observed wedged for minutes-to-hours on 2026-08-20 while
+    compute dispatch kept working).  The orphaned transfer finishes (or
+    not) on a daemon thread; the caller moves on either way."""
+    import threading
+    out = {}
+
+    def _pull():
+        try:
+            out["v"] = np.asarray(x)
+        except Exception as exc:       # noqa: BLE001 - report, don't die
+            out["e"] = exc
+    th = threading.Thread(target=_pull, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "e" in out:
+        log(f"d2h fetch of {what} failed: {out['e']}")
+        return None
+    if "v" not in out:
+        log(f"d2h fetch of {what} missed its {timeout_s:.0f}s deadline "
+            f"(tunnel wedge)")
+        return None
+    return out["v"]
 
 
 def load_measured_baseline():
@@ -711,23 +749,35 @@ def main():
     """
     t_start = time.time()
     budget = float(os.environ.get("BENCH_BUDGET_S", "540"))
+    on_cpu = "cpu" in (os.environ.get("JAX_PLATFORMS") or "axon")
+
+    # ---- d2h init warm kick (r05 post-mortem) -------------------------- #
+    # The tunneled TPU's device-to-host path pays a ONE-TIME per-process
+    # initialisation of ~90-500 s (variable with tunnel load) on the first
+    # blocking transfer; compute dispatch and h2d are unaffected.  Kick it
+    # asynchronously NOW so it overlaps the band probe + build + compiles,
+    # and absorb any remainder explicitly before the timed headline chunk
+    # (see the init-absorb fetch below).  r04's benchmark died exactly
+    # here: its first d2h (then: a jit-captured device constant at lowering
+    # time) sat in this init until the watchdog fired.
+    import jax
+    import safeincave_tpu  # noqa: F401  (x64)
+    if not on_cpu:
+        safeincave_tpu.jax_setup.warm_transfer()
 
     # ---- band cold-compile probe (r03/r04 post-mortem) ----------------- #
     # The Pallas band backend is ~1.7x faster per step than the matrix-free
     # kernel on this chip, but a COLD Mosaic compile of the two headline
     # programs costs ~500 s EACH through the tunnel (measured 2026-08-20:
-    # elastic 496 s, fused 20-step chunk 567 s) - far past the driver's
-    # budget.  A warm persistent cache loads both in seconds.  So: a child
-    # process (before THIS process touches the TPU) runs the exact headline
-    # programs under a hard deadline.  Warm cache -> child finishes fast and
-    # the parent compiles from cache.  Cold cache -> child is killed and the
-    # parent falls back to the matrix-free kernel, whose cold compiles are
-    # proven to fit the budget (r02: elastic 14.9 s, fused chunk 55.3 s).
-    # The headline backend is therefore always one that CAN deliver a
-    # headline in this process's remaining budget.  BENCH_NO_PROBE=1 skips
-    # the child (trust the cache); BENCH_NO_BAND=1 skips band entirely.
+    # elastic 496 s, fused 20-step chunk 567 s).  With a warm persistent
+    # cache this is seconds, and the probe guarantees the headline backend
+    # is one that has already finished these exact programs on this machine.
+    # Warm cache -> child finishes fast and the parent compiles from cache.
+    # Cold cache -> child is killed and the parent falls back to the
+    # matrix-free kernel.  BENCH_NO_PROBE=1 skips the child (trust the
+    # cache); BENCH_NO_BAND=1 skips band entirely.
     probe_s = float(os.environ.get("BENCH_PROBE_S", "150"))
-    if (not os.environ.get("BENCH_NO_BAND")
+    if (os.environ.get("BENCH_NO_BAND") != "1" and not on_cpu
             and os.environ.get("BENCH_NO_PROBE", "0") != "1"):
         import subprocess
         t0 = time.time()
@@ -767,8 +817,10 @@ def main():
     alarm_s = float(os.environ.get("BENCH_ALARM_S", budget + 20))
 
     def _watchdog():
-        import threading as _t
-        time.sleep(alarm_s)
+        # sleep relative to t_start, not thread start: the health/band
+        # probes above may have consumed minutes already, and the clean
+        # exit must beat the driver's hard kill (ADVICE r04)
+        time.sleep(max(0.0, alarm_s - (time.time() - t_start)))
         log(f"BENCH_WATCHDOG after {time.time()-t_start:.0f}s - exiting "
             f"cleanly with completed sections")
         sys.stdout.flush()
@@ -786,13 +838,22 @@ def main():
     dofs = eq.n_nodes * 3
     log(f"devices: {jax.devices()}  dofs: {dofs}")
 
+    # Optimistic/deferred stats through the whole headline phase: every
+    # host readback races a possible tunnel d2h wedge, so timing relies on
+    # block_until_ready (which keeps working when d2h wedges) and every
+    # stats fetch runs under an explicit deadline.
+    eq._defer_stats = True
     eq.bc.update_dirichlet(0.0)
     eq.bc.update_neumann(0.0)
     t0 = time.time()
     eq.solve_elastic_response()
     jax.block_until_ready(eq.u)
-    log(f"elastic solve (incl. compile): {time.time()-t0:.2f}s, "
-        f"krylov iters={eq.solver_stats[0]}, res={eq.solver_stats[1]:.2e}")
+    el_s = time.time() - t0
+    st = fetch(jax.numpy.stack([eq.solver_stats[0] * 1.0,
+                                eq.solver_stats[1]]), 5, "elastic stats")
+    log(f"elastic solve (incl. compile): {el_s:.2f}s"
+        + (f", krylov iters={int(st[0])}, res={st[1]:.2e}"
+           if st is not None else " (stats fetch pending)"))
     eps = eq.compute_total_strain()
     eq.compute_elastic_stress(eps)
     eq.compute_eps_ne_rate(eq.sig_v, 0.0)
@@ -833,19 +894,73 @@ def main():
             pending = pending[n_ok + 1:]
         return np.asarray(rows), retries
 
+    # Optimistic first pass: dispatch both chunks with DEFERRED stats and
+    # time them via block_until_ready only - no host readback sits between
+    # the benchmark and its headline.  The stats are then fetched under a
+    # deadline: if they arrive and show every step converged (the proven
+    # behaviour of this config: r02/r04 runs had 0 retries), the headline
+    # is fully verified; if a step failed, fall back to the retrying
+    # run_chunk path (d2h works in that branch, since the stats arrived);
+    # if the fetch wedged, report the wall-clock headline with
+    # "stats_verified": false rather than no headline at all.
     t0 = time.time()
-    run_chunk([(k + 1) * dt for k in range(n_steps)])   # warmup/compile
+    rows1 = eq.solve_time_steps([(k + 1) * dt for k in range(n_steps)],
+                                [dt] * n_steps, tol=1e-8, maxiter=40,
+                                sync_stats=False)
+    jax.block_until_ready(eq.u)
     log(f"first fused chunk ({n_steps} steps, incl. compile): "
         f"{time.time()-t0:.2f}s")
+    # init-absorb: make sure the one-time d2h path initialisation (see the
+    # warm kick above) has fully completed BEFORE the timed window, so the
+    # timed chunk's dispatches don't queue behind it and its stats fetch is
+    # the normal ~ms transfer.  Deadline: whatever budget can spare while
+    # keeping ~150 s for the timed chunk + headline.
+    if not on_cpu:
+        t0 = time.time()
+        absorb_s = max(10.0, min(420.0, remaining() - 150.0))
+        ok = fetch(jax.numpy.zeros(8), absorb_s, "d2h init absorb")
+        state = ("ready" if ok is not None
+                 else "STILL pending - timed chunk may queue behind it")
+        log(f"d2h init absorbed in {time.time()-t0:.1f}s ({state})")
     t0 = time.time()
     t01 = (n_steps + 1) * dt
-    stats, retries = run_chunk([t01 + k * dt for k in range(n_steps)])
+    rows2 = eq.solve_time_steps([t01 + k * dt for k in range(n_steps)],
+                                [dt] * n_steps, tol=1e-8, maxiter=40,
+                                sync_stats=False)
+    jax.block_until_ready(eq.u)
     elapsed = time.time() - t0
     per_step = elapsed / n_steps
-    log(f"{n_steps} steps (fused driver): {elapsed:.3f}s "
-        f"({per_step*1000:.1f} ms/step, {stats[:, 0].mean():.1f} "
-        f"fp-iters/step, {stats[:, 2].mean():.0f} krylov-iters/step, "
-        f"{retries} f64 retries), final err={stats[-1, 1]:.2e}")
+    verified = False
+    stats = fetch(jax.numpy.stack([rows1, rows2]), 90, "fused-chunk stats")
+    if stats is not None and (stats[:, :, 5] > 0.5).all():
+        verified = True
+        s2 = stats[1]
+        log(f"{n_steps} steps (fused driver): {elapsed:.3f}s "
+            f"({per_step*1000:.1f} ms/step, {s2[:, 0].mean():.1f} "
+            f"fp-iters/step, {s2[:, 2].mean():.0f} krylov-iters/step, "
+            f"0 f64 retries), final err={s2[-1, 1]:.2e}")
+    elif stats is not None:
+        # a step failed: re-measure on a fresh window with the full
+        # dt-retry semantics (the production Simulator_M flow)
+        log(f"optimistic pass had non-converged steps "
+            f"(chunk1 {int((stats[0, :, 5] > 0.5).sum())}/{n_steps}, "
+            f"chunk2 {int((stats[1, :, 5] > 0.5).sum())}/{n_steps}) - "
+            f"re-measuring with the retrying driver")
+        t_base = (2 * n_steps + 2) * dt
+        t0 = time.time()
+        s2, retries = run_chunk([t_base + k * dt for k in range(n_steps)])
+        elapsed = time.time() - t0
+        per_step = elapsed / n_steps
+        verified = True
+        log(f"{n_steps} steps (fused driver, retrying): {elapsed:.3f}s "
+            f"({per_step*1000:.1f} ms/step, {s2[:, 0].mean():.1f} "
+            f"fp-iters/step, {s2[:, 2].mean():.0f} krylov-iters/step, "
+            f"{retries} f64 retries), final err={s2[-1, 1]:.2e}")
+    else:
+        log(f"{n_steps} steps (fused driver): {elapsed:.3f}s "
+            f"({per_step*1000:.1f} ms/step; stats unverified - d2h wedged, "
+            f"convergence behaviour of this exact config on this mesh: "
+            f"r02/r04 all-converged with 0 retries)")
 
     # ---- headline on stdout NOW; everything below is best-effort -------- #
     headline = {
@@ -854,6 +969,8 @@ def main():
         "unit": "s/step",
         "vs_baseline": round(REFERENCE_SECONDS_PER_STEP / per_step, 2),
     }
+    if not verified:
+        headline["stats_verified"] = False
     r = measured_ratio("cavern600_mech", per_step)
     if r:
         headline["vs_baseline_measured"] = round(r, 2)
@@ -861,6 +978,7 @@ def main():
             f"{MEASURED['cavern600_mech']['s_per_step']:.2f} s/step = "
             f"{r:.1f}x ({MEASURED['cavern600_mech'].get('notes', '')})")
     print(json.dumps(headline), flush=True)
+    eq._defer_stats = False
 
     # Section budget gates are sized for the WARM-cache runs the driver
     # performs (/tmp/jax_cache is re-warmed for the final code state before
@@ -970,6 +1088,7 @@ def probe():
     import jax
     import safeincave_tpu  # noqa: F401  (x64)
     eq = build()
+    eq._defer_stats = True     # no host readbacks - compile is the point
     eq.bc.update_dirichlet(0.0)
     eq.bc.update_neumann(0.0)
     eq.solve_elastic_response()
@@ -980,7 +1099,7 @@ def probe():
     eq.update_eps_ne_rate_old()
     dt, n = 3600.0, 20
     eq.solve_time_steps([(k + 1) * dt for k in range(n)], [dt] * n,
-                        tol=1e-8, maxiter=40)
+                        tol=1e-8, maxiter=40, sync_stats=False)
     jax.block_until_ready(eq.u)
     log("probe: headline programs compiled")
 

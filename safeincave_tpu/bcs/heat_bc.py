@@ -59,13 +59,16 @@ class BcHandler:
         self.__init__(self.eq)
 
     def _facet_meta(self, bc):
+        # host-resident (numpy) meta: captured by jitted closures, where a
+        # device array would force a d2h fetch at lowering time (see
+        # momentum_bc.BcHandler.add_boundary_condition)
         grid = self.grid
         facets = np.asarray(grid.get_boundary_tags(bc.boundary_name))
         tris = grid.tris[facets]
-        return dict(tris=jnp.asarray(tris),
-                    areas=jnp.asarray(grid.tri_areas[facets]),
-                    times=jnp.asarray(bc.time_values),
-                    values=jnp.asarray(bc.values))
+        return dict(tris=np.asarray(tris),
+                    areas=np.asarray(grid.tri_areas[facets]),
+                    times=np.asarray(bc.time_values),
+                    values=np.asarray(bc.values))
 
     def add_boundary_condition(self, bc: GeneralBC):
         self._jit_cache = {}
@@ -74,8 +77,8 @@ class BcHandler:
             facets = self.grid.get_boundary_tags(bc.boundary_name)
             nodes = np.unique(self.grid.tris[facets].reshape(-1))
             self._dirichlet_meta.append(
-                (jnp.asarray(nodes), jnp.asarray(bc.time_values),
-                 jnp.asarray(bc.values)))
+                (np.asarray(nodes), np.asarray(bc.time_values),
+                 np.asarray(bc.values)))
         elif bc.type == "neumann":
             self.neumann_boundaries.append(bc)
             self._neumann_meta.append(self._facet_meta(bc))

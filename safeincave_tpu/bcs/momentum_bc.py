@@ -80,28 +80,34 @@ class BcHandler:
         self._jit_dirichlet = None
         self._jit_neumann = None
         grid = self.grid
+        # Meta arrays stay HOST-resident (numpy): they are captured by the
+        # jitted update_* closures, and a captured *device* array forces a
+        # device-to-host fetch at lowering time (mlir ir_constant -> _value).
+        # Through a tunneled TPU that fetch costs seconds to forever (r04
+        # post-mortem: the benchmark hung exactly there); numpy constants
+        # lower without ever touching the device.
         if bc.type == "dirichlet":
             self.dirichlet_boundaries.append(bc)
             facets = grid.get_boundary_tags(bc.boundary_name)
             nodes = np.unique(grid.tris[facets].reshape(-1))
             self._dirichlet_meta.append(
-                (jnp.asarray(nodes), bc.component,
-                 jnp.asarray(bc.time_values), jnp.asarray(bc.values)))
+                (np.asarray(nodes), bc.component,
+                 np.asarray(bc.time_values), np.asarray(bc.values)))
         elif bc.type == "neumann":
             self.neumann_boundaries.append(bc)
             facets = np.asarray(grid.get_boundary_tags(bc.boundary_name))
             tris = grid.tris[facets]                       # (F, 3)
             self._neumann_meta.append(dict(
-                tris=jnp.asarray(tris),
-                areas=jnp.asarray(grid.tri_areas[facets]),
-                normals=jnp.asarray(grid.tri_normals[facets]),
-                coords=jnp.asarray(grid.points[tris]),     # (F, 3, 3)
+                tris=np.asarray(tris),
+                areas=np.asarray(grid.tri_areas[facets]),
+                normals=np.asarray(grid.tri_normals[facets]),
+                coords=np.asarray(grid.points[tris]),      # (F, 3, 3)
                 direction=bc.direction,
                 density=bc.density,
                 ref_pos=bc.ref_pos,
                 gravity=bc.gravity,
-                times=jnp.asarray(bc.time_values),
-                values=jnp.asarray(bc.values),
+                times=np.asarray(bc.time_values),
+                values=np.asarray(bc.values),
             ))
         else:
             raise Exception(f"Boundary type {bc.type} not supported.")

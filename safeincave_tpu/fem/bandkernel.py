@@ -167,7 +167,9 @@ class BandMatvec:
         self._ns = len(p.s_res)
 
         def _i32(x):
-            return jnp.asarray(np.ascontiguousarray(x.astype(np.int32)))
+            # host-resident (numpy): captured by jitted closures, where
+            # device arrays would force a d2h fetch at lowering
+            return np.ascontiguousarray(x.astype(np.int32))
 
         self._gk = _i32(p.gk)
         self._gl = _i32(p.gl)

@@ -178,12 +178,13 @@ class BlockELL:
         self.plan = BlockELLPlan(np.asarray(kern.grid.conn),
                                  kern.n_nodes, G=G)
         p = self.plan
-        self._nbr = jnp.asarray(p.nbr)
-        self._row_slot = jnp.asarray(p.row_slot)             # (16E,)
+        # host-resident (numpy): captured by jitted closures, where device
+        # arrays would force a d2h fetch at lowering (fem/kernels.py note)
+        self._nbr = np.asarray(p.nbr)
+        self._row_slot = np.asarray(p.row_slot)              # (16E,)
         # SoA geometry: gradient components (4, 3, E) and volumes (E,)
-        self._gn = jnp.asarray(np.moveaxis(np.asarray(kern.grid.grad_N),
-                                           0, -1))
-        self._vol = jnp.asarray(np.asarray(kern.grid.volumes))
+        self._gn = np.moveaxis(np.asarray(kern.grid.grad_N), 0, -1)
+        self._vol = np.asarray(kern.grid.volumes)
         self.Gn, self.K, self.G = p.Gn, p.K, p.G
 
     # ------------------------------------------------------------------ #

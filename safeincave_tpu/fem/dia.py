@@ -187,11 +187,12 @@ class BlockDIA:
         self.plan = DIAPlan(np.asarray(kern.grid.conn), kern.n_nodes,
                             max_offsets=max_offsets, min_fill=min_fill)
         p = self.plan
-        self._row_slot = jnp.asarray(p.row_slot)             # (16E,)
+        # host-resident (numpy): captured by jitted closures, where device
+        # arrays would force a d2h fetch at lowering (fem/kernels.py note)
+        self._row_slot = np.asarray(p.row_slot)              # (16E,)
         # SoA geometry: gradient components (4, 3, E) and volumes (E,)
-        self._gn = jnp.asarray(np.moveaxis(np.asarray(kern.grid.grad_N),
-                                           0, -1))
-        self._vol = jnp.asarray(np.asarray(kern.grid.volumes))
+        self._gn = np.moveaxis(np.asarray(kern.grid.grad_N), 0, -1)
+        self._vol = np.asarray(kern.grid.volumes)
         self._lo = int(-p.offsets.min())                     # left pad
         self._hi = int(p.offsets.max())                      # right pad
         T = self.TILE if p.n_nodes >= self.TILE else 1024

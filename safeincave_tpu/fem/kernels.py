@@ -47,15 +47,20 @@ class MomentumKernel:
     """Vector CG1 elasticity operator pieces for one mesh."""
 
     def __init__(self, grid):
+        # Geometry stays HOST-resident (numpy): these arrays are captured by
+        # every jitted solve closure, and captured *device* arrays force a
+        # d2h fetch per constant at lowering time (mlir ir_constant) - through
+        # a tunneled TPU that costs seconds to forever (r04 post-mortem).
+        # numpy constants lower host-side and are uploaded once with the
+        # compiled executable.
         self.grid = grid
-        self.conn = jnp.asarray(grid.conn, dtype=jnp.int32)       # (E, 4)
-        self.grad_N = jnp.asarray(grid.grad_N)                    # (E, 4, 3)
-        self.vol = jnp.asarray(grid.volumes)                      # (E,)
+        self.conn = np.asarray(grid.conn, dtype=np.int32)         # (E, 4)
+        self.grad_N = np.asarray(grid.grad_N)                     # (E, 4, 3)
+        self.vol = np.asarray(grid.volumes)                       # (E,)
         # SoA geometry with the element axis last (on the vector lanes)
-        self._gN_s = jnp.asarray(np.moveaxis(np.asarray(grid.grad_N),
-                                             0, -1))              # (4, 3, E)
-        self._gN_s32 = self._gN_s.astype(jnp.float32)
-        self.vol32 = self.vol.astype(jnp.float32)
+        self._gN_s = np.moveaxis(np.asarray(grid.grad_N), 0, -1)  # (4, 3, E)
+        self._gN_s32 = self._gN_s.astype(np.float32)
+        self.vol32 = self.vol.astype(np.float32)
         self.n_nodes = grid.n_nodes
         self.n_elems = grid.n_elems
         # Voigt <-> tensor mixing tensors for stacked (…, E) contractions
@@ -67,8 +72,8 @@ class MomentumKernel:
             else:
                 t2v[p, i, j] = t2v[p, j, i] = 0.5  # symmetric average
             v2t[i, j, p] = v2t[j, i, p] = 1.0
-        self._t2v = jnp.asarray(t2v)
-        self._v2t = jnp.asarray(v2t)
+        self._t2v = t2v
+        self._v2t = v2t
 
         # static cumsum-scatter plan: (e, a) contributions sorted by
         # destination node; per-node sums are boundary differences of the
@@ -80,9 +85,9 @@ class MomentumKernel:
         starts = np.searchsorted(flat_sorted, np.arange(grid.n_nodes))
         ends = np.searchsorted(flat_sorted, np.arange(grid.n_nodes),
                                side="right")
-        self._scat_perm = jnp.asarray(perm, dtype=jnp.int32)
-        self._scat_starts = jnp.asarray(starts, dtype=jnp.int32)
-        self._scat_ends = jnp.asarray(ends + 0, dtype=jnp.int32)
+        self._scat_perm = np.asarray(perm, dtype=np.int32)
+        self._scat_starts = np.asarray(starts, dtype=np.int32)
+        self._scat_ends = np.asarray(ends, dtype=np.int32)
         self.band = None          # optional Pallas band backend (f32 path)
         self.blockell = None      # optional assembled block-ELL backend
         self.dia = None           # optional assembled block-DIA backend
@@ -295,17 +300,17 @@ class HeatKernel:
     """Scalar P1 heat operator pieces."""
 
     def __init__(self, grid):
+        # host-resident geometry - same rationale as MomentumKernel.__init__
         self.grid = grid
-        self.conn = jnp.asarray(grid.conn, dtype=jnp.int32)
-        self.grad_N = jnp.asarray(grid.grad_N)
-        self.vol = jnp.asarray(grid.volumes)
-        self.grad_N32 = self.grad_N.astype(jnp.float32)
-        self.vol32 = self.vol.astype(jnp.float32)
+        self.conn = np.asarray(grid.conn, dtype=np.int32)
+        self.grad_N = np.asarray(grid.grad_N)
+        self.vol = np.asarray(grid.volumes)
+        self.grad_N32 = self.grad_N.astype(np.float32)
+        self.vol32 = self.vol.astype(np.float32)
         self.n_nodes = grid.n_nodes
         self.n_elems = grid.n_elems
         # consistent P1 tet mass: V (1 + delta_ab) / 20
         self._mass_local = (np.ones((4, 4)) + np.eye(4)) / 20.0
-        self._mass_local = jnp.asarray(self._mass_local)
 
     def _geom(self, dtype):
         if dtype == jnp.float32:

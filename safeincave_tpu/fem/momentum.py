@@ -796,7 +796,12 @@ class LinearMomentum(LinearMomentumBase):
         x0 = mask * self.u + (1.0 - mask) * u_bc
         P, _ = self._get_precond()
         x, iters, res, _ = self._get_jit_solve()(CT, b, mask, u_bc, x0, P)
-        self.solver_stats = (int(iters), float(res))
+        if getattr(self, "_defer_stats", False):
+            # leave the counters on device - callers on a wedged/slow
+            # tunnel fetch them under their own deadline (bench.py r05)
+            self.solver_stats = (iters, res)
+        else:
+            self.solver_stats = (int(iters), float(res))
         return x
 
     def solve_elastic_response(self):
@@ -1664,7 +1669,8 @@ class LinearMomentum(LinearMomentumBase):
         self.run_after_solve()
         return int(stats[0]), float(stats[1])
 
-    def solve_time_steps(self, ts, dts, tol=1e-8, maxiter=40):
+    def solve_time_steps(self, ts, dts, tol=1e-8, maxiter=40,
+                         sync_stats=True):
         """Advance up to ``len(ts)`` fused time steps in ONE device dispatch.
 
         Each step runs the full fixed-point iteration and commits its ISVs
@@ -1721,6 +1727,14 @@ class LinearMomentum(LinearMomentumBase):
         # the commit already consumed it - keep sigma as the fallback for
         # any caller that reads _last_sv_k afterwards
         self._last_sv_k = sv
+        if not sync_stats:
+            # Defer the host transfer: returns the ON-DEVICE (K, 6) stats
+            # rows and leaves krylov_total/solver_stats untouched.  Callers
+            # on a slow (or wedged) tunneled accelerator can time the fused
+            # dispatch via block_until_ready and fetch the stats under
+            # their own deadline (bench.py r05).
+            self.run_after_solve()
+            return rows[:n_real]
         stats = np.asarray(rows)[:n_real]   # ONE host transfer for K steps
         done = stats[:, 5] > 0.5
         if done.any():

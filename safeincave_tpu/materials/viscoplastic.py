@@ -384,16 +384,22 @@ class MohrCoulombViscoplastic(NonElasticElement, _DPFlowMixin):
 
     def __init__(self, mu_1, N_1, cohesion, friction_angle, dilation_angle,
                  sigma_t, name: str = "mohr_coulomb"):
-        # jnp (not numpy) arithmetic so cohesion/friction/dilation can be
-        # JAX tracers - the calibration twins differentiate through the
+        # numpy arithmetic on concrete inputs (params are captured by jitted
+        # closures - device-array constants force a d2h fetch at lowering,
+        # see materials/base.py _p); jnp only when cohesion/friction/dilation
+        # are JAX tracers - the calibration twins differentiate through the
         # constructor (examples/mechanics/MaterialCalibration)
-        mu_1 = jnp.asarray(mu_1, dtype=jnp.float64)
+        traced = any(isinstance(x, jax.core.Tracer)
+                     for x in (mu_1, N_1, cohesion, friction_angle,
+                               dilation_angle, sigma_t))
+        xp = jnp if traced else np
+        mu_1 = xp.asarray(mu_1, dtype=xp.float64)
         super().__init__(mu_1.shape[0], name)
-        as64 = lambda x: jnp.asarray(x, dtype=jnp.float64)
+        as64 = lambda x: xp.asarray(x, dtype=xp.float64)
         cohesion = as64(cohesion)
         phi = as64(friction_angle)
         psi = as64(dilation_angle)
-        sin_phi, cos_phi, sin_psi = jnp.sin(phi), jnp.cos(phi), jnp.sin(psi)
+        sin_phi, cos_phi, sin_psi = xp.sin(phi), xp.cos(phi), xp.sin(psi)
         sq3 = np.sqrt(3.0)
         self.params = {
             "mu_1": mu_1, "N_1": as64(N_1), "sigma_t": as64(sigma_t),

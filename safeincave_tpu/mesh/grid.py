@@ -162,10 +162,11 @@ class Grid:
         flat_elems = np.repeat(np.arange(self.n_elems), 4)
         vol_sum_at_node = np.zeros(self.n_nodes)
         np.add.at(vol_sum_at_node, flat_nodes, self.volumes[flat_elems])
-        self.smooth_node_idx = jnp.asarray(flat_nodes)
-        self.smooth_elem_idx = jnp.asarray(flat_elems)
-        self.smooth_weights = jnp.asarray(
-            self.volumes[flat_elems] / vol_sum_at_node[flat_nodes])
+        # host-resident (numpy): captured by jitted closures, where device
+        # arrays would force a d2h fetch at lowering (fem/kernels.py note)
+        self.smooth_node_idx = flat_nodes
+        self.smooth_elem_idx = flat_elems
+        self.smooth_weights = self.volumes[flat_elems] / vol_sum_at_node[flat_nodes]
 
     # ------------------------------------------------------------------ #
     # Smoothing operators (pure JAX, usable inside jit)
@@ -178,7 +179,7 @@ class Grid:
 
     def nodes_to_elems(self, q_nodes: jnp.ndarray) -> jnp.ndarray:
         """Uniform node->element average (reference B_csr)."""
-        return q_nodes[jnp.asarray(self.conn)].mean(axis=1)
+        return q_nodes[np.asarray(self.conn)].mean(axis=1)
 
     def smooth_elems(self, q_elems: jnp.ndarray) -> jnp.ndarray:
         """Element smoother = B @ A (reference ``smoother``)."""

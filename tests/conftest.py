@@ -7,7 +7,12 @@ Must run before jax is imported anywhere.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): the driver environment presets
+# JAX_PLATFORMS=axon, and safeincave_tpu.jax_setup re-asserts the env var
+# over any jax.config.update - with setdefault the whole suite silently ran
+# on the tunneled TPU (r05 post-mortem: ~10x slower, and the traffic
+# congested the tunnel for concurrent benchmark runs).
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 flags = os.environ.get("XLA_FLAGS", "")
