@@ -179,6 +179,13 @@ def find_grid(name: str, fallback: str | None = None) -> str:
         d = _os.path.join(repo_grids, cand)
         if _os.path.isfile(_os.path.join(d, "geom.msh")):
             return d
+    # procedural shape library: any reference cavern_<family>_<vol>_3D name
+    # is synthesized on demand (mesh/cavern_gen.py catalog) into grids/ -
+    # the framework-owned answer to the reference's 43 committed gmsh
+    # directories, with no gmsh install and no binary blobs in the repo
+    from .mesh.cavern_gen import parse_grid_name, synthesize_grid
+    if parse_grid_name(name) is not None:
+        return synthesize_grid(name, repo_grids)
     raise FileNotFoundError(
-        f"grid {name!r} not found (reference unmounted and no repo fixture; "
-        f"run grids/make_fixtures.py)")
+        f"grid {name!r} not found (reference unmounted, no repo fixture, "
+        f"and not a catalog shape; run grids/make_fixtures.py)")
