@@ -311,7 +311,11 @@ def _dense_inverse_precond(kern, C, mask):
            + np.arange(3)[None, None, :])                     # (E,4,3)
     rows = np.repeat(dof.reshape(-1, 12), 12, axis=1).reshape(-1)
     cols = np.tile(dof.reshape(-1, 12), (1, 12)).reshape(-1)
-    flat_idx = jnp.asarray(rows * (3 * n) + cols, dtype=jnp.int64)
+    # host-resident numpy, NOT jnp: a device array captured as a jit
+    # closure constant forces a d2h fetch of all 27 MB at MLIR lowering
+    # time, which through the tunneled TPU stalls for minutes (the r04
+    # failure class; see jax _array_mlir_constant_handler -> ._value)
+    flat_idx = (rows * (3 * n) + cols).astype(np.int64)
 
     @jax.jit
     def _assemble(Ke, m):

@@ -32,8 +32,29 @@ if _plat:
         pass
 
 # Persistent compilation cache: first-compile through the TPU toolchain is
-# slow (tens of seconds per program); cached reloads are near-instant.
-_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# slow (minutes per program through the tunneled backend); cached reloads are
+# near-instant.  The default location is REPO-LOCAL (.jax_cache next to the
+# package), not /tmp: /tmp does not survive between tool sessions on this
+# deployment, while the repo checkout does - a /tmp cache warmed in one
+# session is gone when the benchmark actually runs (r04 post-mortem: the
+# driver's bench run found a cold cache and died inside its first 300 s
+# compile).  Falls back to /tmp/jax_cache when the package dir is read-only
+# (installed into site-packages).
+def _default_cache_dir():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cand = os.path.join(repo, ".jax_cache")
+    try:
+        os.makedirs(cand, exist_ok=True)
+        probe = os.path.join(cand, ".wtest")
+        with open(probe, "w"):
+            pass
+        os.remove(probe)
+        return cand
+    except OSError:
+        return "/tmp/jax_cache"
+
+
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", _default_cache_dir())
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
