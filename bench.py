@@ -323,8 +323,7 @@ def bench_tm(eq_mech, n_steps=5):
     heat = sc.HeatDiffusion(grid)
     heat.set_solver(sc.SolverSettings(method="cg", rtol=1e-12, max_it=400))
 
-    eq = sc.LinearMomentum(grid, theta=0.5,
-                           auto_backend=os.environ.get("BENCH_NO_BAND") != "1")
+    eq = sc.LinearMomentum(grid, theta=0.5, auto_backend=_tm_band_ok())
     eq.set_solver(eq_mech.solver)
     mat = sc.Material(n)
     mat.set_density(2200.0 * one)
@@ -599,8 +598,7 @@ def build_tm_cyclic(grid_name, fallback, label, reorder="band"):
     inter = per_region(0.0, 1.0, 0.0)
     over = per_region(0.0, 0.0, 1.0)
     salt = 1.0 - inter - over
-    eq = sc.LinearMomentum(grid, theta=0.5,
-                           auto_backend=os.environ.get("BENCH_NO_BAND") != "1")
+    eq = sc.LinearMomentum(grid, theta=0.5, auto_backend=_tm_band_ok())
     # same solver regime as the headline config: always-tight solves (the
     # library default; see the headline config note for the measurement
     # that retired adaptive_rtol from the bench regime)
@@ -735,6 +733,31 @@ def bench_tm_cyclic(grid_name, fallback, label, baseline_key=None,
         f"heat {stats[:n_ok, 0].mean():.0f} cg-iters/step){vs}")
 
 
+_digest_memo = {}
+
+
+def _tm_band_ok():
+    """Whether the TM / secondary sections may auto-select the Pallas band
+    backend: only when BENCH_NO_BAND is unset AND a prior full bench run
+    has proven this code state's TM band programs are in the persistent
+    cache (tm_band_ok.digest, written after all TM-cyclic sections
+    complete band-enabled).  The headline probe only warms the cavern600
+    headline programs; a cache-cold band Mosaic compile of a 1200-class TM
+    program costs ~500 s and silently eats its section (ADVICE r04).
+    BENCH_WARM_ALL=1 overrides - used by warm-up runs that intend to pay
+    the cold compiles."""
+    if os.environ.get("BENCH_NO_BAND") == "1":
+        return False
+    if os.environ.get("BENCH_WARM_ALL") == "1":
+        return True
+    cache_dir = os.environ["JAX_COMPILATION_CACHE_DIR"]
+    try:
+        with open(os.path.join(cache_dir, "tm_band_ok.digest")) as f:
+            return f.read().strip() == _probe_digest()
+    except OSError:
+        return False
+
+
 def _probe_digest():
     """Fingerprint of everything that determines the headline programs'
     compile-cache keys: package + bench source, jax version, and the
@@ -743,6 +766,8 @@ def _probe_digest():
     ~150 s child probe can be skipped outright (measured: a WARM probe
     child still costs ~148 s - jax init + grid build/reorder + cache
     loads - dangerously close to its own deadline)."""
+    if "v" in _digest_memo:
+        return _digest_memo["v"]
     import hashlib
     import jax
     h = hashlib.sha256()
@@ -766,7 +791,8 @@ def _probe_digest():
         h.update(str(os.path.getsize(msh)).encode())
     except Exception:
         h.update(b"no-grid")
-    return h.hexdigest()
+    _digest_memo["v"] = h.hexdigest()
+    return _digest_memo["v"]
 
 
 def main():
@@ -1046,6 +1072,15 @@ def main():
             f"{r:.1f}x ({MEASURED['cavern600_mech'].get('notes', '')})")
     print(json.dumps(headline), flush=True)
     eq._defer_stats = False
+    if getattr(eq.kernel, "band", None) is not None:
+        # the band headline programs just compiled+ran to completion, so
+        # they are in the persistent cache for this code state - future
+        # runs may skip the probe child outright
+        try:
+            with open(marker, "w") as f:
+                f.write(_probe_digest())
+        except OSError:
+            pass
 
     # Section budget gates are sized for the WARM-cache runs the driver
     # performs (the repo-local .jax_cache is re-warmed for the final code
@@ -1070,6 +1105,7 @@ def main():
     # interlayer1200-TM names the repo-OWNED heterogeneous production mesh
     # (grids/cavern_interlayer_1200, 6 regions incl. Overburden) directly -
     # config 5 with no reference checkout required.
+    tm_ok = 0
     for grid_name, fb, label, bkey in (
             ("cavern_regular_1200_3D", "cavern_proxy_1200",
              "regular1200-TM", "regular1200_tm"),
@@ -1081,10 +1117,21 @@ def main():
             if remaining() > 130:
                 section(label)
                 bench_tm_cyclic(grid_name, fb, label, baseline_key=bkey)
+                tm_ok += 1
             else:
                 log(f"skipping {label} (budget)")
         except Exception as exc:
             log(f"{label} failed: {exc}")
+    if tm_ok == 3 and _tm_band_ok():
+        # every TM-cyclic section completed band-enabled: their band
+        # programs are now in the persistent cache for this code state, so
+        # future runs (the driver's scored run) may band-select them safely
+        try:
+            with open(os.path.join(os.environ["JAX_COMPILATION_CACHE_DIR"],
+                                   "tm_band_ok.digest"), "w") as f:
+                f.write(_probe_digest())
+        except OSError:
+            pass
 
     try:
         if remaining() > 60:
