@@ -240,11 +240,17 @@ class BandMatvec:
         return out.reshape(36 * self.plan.Er, 128)
 
     def pack_gn(self, grad_N):
-        """grad_N (E,4,3) -> (12*Er, 128) f32 ((a, comp) major)."""
-        E = grad_N.shape[0]
-        out = jnp.zeros((12, self.Ep), jnp.float32)
-        g = jnp.transpose(grad_N, (1, 2, 0)).reshape(12, E)
-        out = out.at[:, :E].set(g.astype(jnp.float32))
+        """grad_N (E,4,3) -> (12*Er, 128) f32 ((a, comp) major).
+
+        Pure numpy on a host-resident input: the result is stored once and
+        then captured as a jit closure constant by every band matvec - a
+        device-array version forces a d2h fetch at MLIR lowering (the r04
+        failure class), so it must stay host-resident.  Device inputs
+        (tests) are pulled host-side first."""
+        g_host = np.asarray(grad_N)
+        E = g_host.shape[0]
+        out = np.zeros((12, self.Ep), np.float32)
+        out[:, :E] = np.transpose(g_host, (1, 2, 0)).reshape(12, E)
         return out.reshape(12 * self.plan.Er, 128)
 
     def apply_packed(self, u_rs, ctv36, gn12):

@@ -152,7 +152,10 @@ class MomentumKernel:
                 f"{plan.Wg}, scatter Ws={plan.Ws}); rebuild the grid with "
                 f"reorder='band'")
         self.band = BandMatvec(plan, interpret=interpret)
-        self._band_gn = self.band.pack_gn(self.grad_N.astype(jnp.float32))
+        # host-resident numpy (pack_gn): captured as a jit closure constant
+        # by every band matvec - must never be a device array (d2h at
+        # lowering through the tunnel stalls for minutes)
+        self._band_gn = self.band.pack_gn(self.grad_N.astype(np.float32))
         return self.band
 
     def band_pack_ct(self, CT_soa32):
