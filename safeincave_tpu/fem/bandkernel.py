@@ -253,6 +253,17 @@ class BandMatvec:
         out[:, :E] = np.transpose(g_host, (1, 2, 0)).reshape(12, E)
         return out.reshape(12 * self.plan.Er, 128)
 
+    def pack_gn_traced(self, grad_N):
+        """Traced twin of pack_gn for in-jit use: packs the on-device
+        derived grad_N (kernels._device_tet_geometry) so band programs
+        carry no multi-MB geometry literal (module-size rationale in
+        kernels._device_tet_geometry)."""
+        E = grad_N.shape[0]
+        out = jnp.zeros((12, self.Ep), jnp.float32)
+        g = jnp.transpose(grad_N, (1, 2, 0)).reshape(12, E)
+        out = out.at[:, :E].set(g.astype(jnp.float32))
+        return out.reshape(12 * self.plan.Er, 128)
+
     def apply_packed(self, u_rs, ctv36, gn12):
         """Raw kernel apply on pre-packed operands."""
         return self._call(u_rs, ctv36, gn12, self._gk, self._gl,

@@ -43,6 +43,41 @@ from ..utils import tensor_to_voigt, voigt_to_tensor
 _V2T = ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))
 
 
+def _device_tet_geometry(points, conn):
+    """grad_N (E,4,3) f64 + volumes (E,) f64 derived IN-TRACE from the
+    small points/conn constants, replicating mesh/grid._tet_geometry's
+    term order exactly (bitwise-identical results on the CPU backend).
+
+    Rationale (r05 post-mortem): inlining the precomputed (4,3,E) f64
+    gradient array as a jit closure constant puts ~4.6 MB of dense literal
+    text into the lowered module PER CALL SITE - the headline elastic
+    module measured 70 MB of MLIR, 46 MB of which was copies of this one
+    array - and through the tunneled TPU the module ships at minutes per
+    100 MB, BOTH at compile time and at persistent-cache load time
+    (serialized executables embed the constants too).  Deriving geometry
+    in-trace from points (130 KB) + conn shrinks the module ~8x; XLA CSE
+    merges the repeated derivations and loop-invariant code motion keeps
+    them out of the Krylov/fixed-point loop bodies.
+    """
+    p = jnp.asarray(points)[conn]                    # (E, 4, 3)
+    e1 = p[:, 1] - p[:, 0]
+    e2 = p[:, 2] - p[:, 0]
+    e3 = p[:, 3] - p[:, 0]
+    c1 = jnp.cross(e2, e3)
+    c2 = jnp.cross(e3, e1)
+    c3 = jnp.cross(e1, e2)
+    ec = e1 * c1
+    det = (ec[:, 0] + ec[:, 1]) + ec[:, 2]           # numpy pairwise order
+    vol = jnp.abs(det) / 6.0
+    inv_det = 1.0 / det
+    g1 = c1 * inv_det[:, None]
+    g2 = c2 * inv_det[:, None]
+    g3 = c3 * inv_det[:, None]
+    g0 = -(g1 + g2 + g3)
+    grad_N = jnp.stack([g0, g1, g2, g3], axis=1)     # (E, 4, 3)
+    return grad_N, vol
+
+
 class MomentumKernel:
     """Vector CG1 elasticity operator pieces for one mesh."""
 
@@ -54,10 +89,15 @@ class MomentumKernel:
         # numpy constants lower host-side and are uploaded once with the
         # compiled executable.
         self.grid = grid
+        self.points = np.asarray(grid.points)                     # (N, 3)
         self.conn = np.asarray(grid.conn, dtype=np.int32)         # (E, 4)
         self.grad_N = np.asarray(grid.grad_N)                     # (E, 4, 3)
         self.vol = np.asarray(grid.volumes)                       # (E,)
-        # SoA geometry with the element axis last (on the vector lanes)
+        # SoA geometry with the element axis last (on the vector lanes);
+        # these host copies serve EAGER consumers (preconditioner builds,
+        # assembled-operator plans) - traced code paths derive geometry
+        # in-trace via _geom()/_device_geom() to keep lowered modules small
+        # (see _device_tet_geometry)
         self._gN_s = np.moveaxis(np.asarray(grid.grad_N), 0, -1)  # (4, 3, E)
         self._gN_s32 = self._gN_s.astype(np.float32)
         self.vol32 = self.vol.astype(np.float32)
@@ -152,10 +192,6 @@ class MomentumKernel:
                 f"{plan.Wg}, scatter Ws={plan.Ws}); rebuild the grid with "
                 f"reorder='band'")
         self.band = BandMatvec(plan, interpret=interpret)
-        # host-resident numpy (pack_gn): captured as a jit closure constant
-        # by every band matvec - must never be a device array (d2h at
-        # lowering through the tunnel stalls for minutes)
-        self._band_gn = self.band.pack_gn(self.grad_N.astype(np.float32))
         return self.band
 
     def band_pack_ct(self, CT_soa32):
@@ -164,12 +200,22 @@ class MomentumKernel:
 
     def band_matvec(self, ct_packed, u):
         """(N,3) f32 stiffness action through the Pallas band kernel."""
-        return self.band.matvec(ct_packed, self._band_gn, u)
+        gN, _ = self._device_geom()
+        gn = self.band.pack_gn_traced(gN.astype(jnp.float32))
+        return self.band.matvec(ct_packed, gn, u)
+
+    def _device_geom(self):
+        """(grad_N (E,4,3), vol (E,)) f64, derived in-trace (see
+        _device_tet_geometry for why this replaces the host constants on
+        every traced path)."""
+        return _device_tet_geometry(self.points, self.conn)
 
     def _geom(self, dtype):
+        gN, vol = self._device_geom()
+        gN_s = jnp.moveaxis(gN, 0, -1)                            # (4, 3, E)
         if dtype == jnp.float32:
-            return self._gN_s32, self.vol32
-        return self._gN_s, self.vol
+            return gN_s.astype(jnp.float32), vol.astype(jnp.float32)
+        return gN_s, vol
 
     # -- stacked-SoA building blocks (all shapes (..., E)) --------------- #
     def _gather_u(self, u):
@@ -303,8 +349,11 @@ class HeatKernel:
     """Scalar P1 heat operator pieces."""
 
     def __init__(self, grid):
-        # host-resident geometry - same rationale as MomentumKernel.__init__
+        # host geometry for eager consumers; traced paths derive in-trace
+        # (same module-size rationale as MomentumKernel / see
+        # _device_tet_geometry)
         self.grid = grid
+        self.points = np.asarray(grid.points)
         self.conn = np.asarray(grid.conn, dtype=np.int32)
         self.grad_N = np.asarray(grid.grad_N)
         self.vol = np.asarray(grid.volumes)
@@ -316,9 +365,10 @@ class HeatKernel:
         self._mass_local = (np.ones((4, 4)) + np.eye(4)) / 20.0
 
     def _geom(self, dtype):
+        gN, vol = _device_tet_geometry(self.points, self.conn)
         if dtype == jnp.float32:
-            return self.grad_N32, self.vol32
-        return self.grad_N, self.vol
+            return gN.astype(jnp.float32), vol.astype(jnp.float32)
+        return gN, vol
 
     def mass_apply(self, coef: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
         """(coef * T, v) with DG0 coef, P1 T and v."""
@@ -340,13 +390,14 @@ class HeatKernel:
                                    num_segments=self.n_nodes)
 
     def mass_diagonal(self, coef: jnp.ndarray) -> jnp.ndarray:
-        d = (coef * self.vol)[:, None] * jnp.full((1, 4), 2.0 / 20.0)
+        _, vol = self._geom(coef.dtype)
+        d = (coef * vol)[:, None] * jnp.full((1, 4), 2.0 / 20.0)
         return jax.ops.segment_sum(d.reshape(-1), self.conn.reshape(-1),
                                    num_segments=self.n_nodes)
 
     def stiffness_diagonal(self, k: jnp.ndarray) -> jnp.ndarray:
-        d = jnp.einsum("eai,eai,e->ea", self.grad_N, self.grad_N,
-                       k * self.vol)
+        gN, vol = self._geom(k.dtype)
+        d = jnp.einsum("eai,eai,e->ea", gN, gN, k * vol)
         return jax.ops.segment_sum(d.reshape(-1), self.conn.reshape(-1),
                                    num_segments=self.n_nodes)
 

@@ -216,7 +216,7 @@ def build_preconditioner(kern, C, mask, settings: SolverSettings):
                 settings.dense_max_dofs else "2level")
 
     if mode == "dense" and local:
-        inv = _dense_inverse_precond(kern, C, mask)
+        inv = _dense_inverse_cached(kern, C, mask)
         if settings.precond_bf16:
             inv = inv.astype(jnp.bfloat16)
 
@@ -289,6 +289,43 @@ def _block_inv32(A, leaf: int = 4096):
     top = jnp.concatenate([inv11 + XiS @ Y, -XiS], axis=1)
     bot = jnp.concatenate([-invS @ Y, invS], axis=1)
     return jnp.concatenate([top, bot], axis=0)
+
+
+def _dense_inverse_cached(kern, C, mask):
+    """Disk-cached wrapper around :func:`_dense_inverse_precond`.
+
+    The dense inverse is a pure function of (mesh, C, mask) and costs an
+    eager chain of ~40 device programs to build - through the tunneled TPU
+    that chain dominated the whole elastic phase (measured ~450 s of the
+    525 s warm elastic at cavern600, r05).  The result is one f32 array,
+    and host->device uploads run at ~700 MB/s here, so loading a cached
+    inverse costs ~2 s.  Cache lives next to the XLA compile cache
+    (JAX_COMPILATION_CACHE_DIR/precond) so the two persist together;
+    unset cache dir -> plain build (tests, CI)."""
+    import hashlib
+    base = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+    if not base or not os.path.isdir(base):
+        return _dense_inverse_precond(kern, C, mask)
+    h = hashlib.sha256()
+    h.update(b"dense-inv-v1")
+    h.update(np.asarray(kern.points).tobytes())
+    h.update(np.asarray(kern.conn).tobytes())
+    h.update(np.asarray(C).tobytes())
+    h.update(np.asarray(mask).tobytes())
+    key = h.hexdigest()
+    pdir = os.path.join(base, "precond")
+    path = os.path.join(pdir, f"{key}.npy")
+    if os.path.isfile(path):
+        return jnp.asarray(np.load(path))
+    inv = _dense_inverse_precond(kern, C, mask)
+    try:
+        os.makedirs(pdir, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        np.save(tmp, np.asarray(inv))
+        os.replace(tmp, path)
+    except OSError:
+        pass
+    return inv
 
 
 def _dense_inverse_precond(kern, C, mask):
